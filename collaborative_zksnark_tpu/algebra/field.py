@@ -1,0 +1,387 @@
+"""Device (JAX/TPU) prime-field arithmetic: limb-decomposed Montgomery form.
+
+This is the TPU-native substrate for the prover hot loops — the analog of the
+reference's `algebra/ff` (ark-ff fork) field arithmetic, re-designed for a
+vector machine:
+
+  * A field element is a little-endian vector of L base-2^16 digits ("limbs")
+    stored as uint32, shape (..., L).  Fr (253-bit) uses L=16 (R = 2^256);
+    Fq (377-bit) uses L=24 (R = 2^384) — the same Montgomery R as arkworks'
+    64-bit-word representation, so Montgomery-form values agree numerically.
+  * All ops are batched over the leading axes and are pure jnp — they run
+    under jit/vmap/shard_map/pallas alike.  There is NO sequential carry
+    loop: products are accumulated in redundant (up to 2^31 per digit) form
+    and carries are resolved with a single relax round followed by a
+    Kogge-Stone (generate/propagate) prefix scan of depth log2(L).
+  * Montgomery multiplication = schoolbook convolution (unrolled over L,
+    each step a full-batch VPU op) + REDC.  A fused Pallas kernel variant
+    lives in ops/pallas_field.py and is used on TPU for the hot paths.
+
+Reference semantics mirrored here (see SURVEY.md §2.2):
+  - ark_ff `Field`/`PrimeField`/`FftField` ops: add/sub/neg/mul/square/inv,
+    batch inversion (algebra/ff/src/fields/mod.rs), two-adic roots of unity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+B = 1 << LIMB_BITS  # limb radix
+MASK = B - 1
+U32 = jnp.uint32
+
+
+def int_to_limbs(x: int, n_limbs: int) -> np.ndarray:
+    """Little-endian base-2^16 digits of a nonnegative int, as uint32."""
+    assert x >= 0
+    out = np.zeros((n_limbs,), dtype=np.uint32)
+    for i in range(n_limbs):
+        out[i] = x & MASK
+        x >>= LIMB_BITS
+    assert x == 0, "int does not fit in n_limbs"
+    return out
+
+
+def ints_to_limbs(xs, n_limbs: int) -> np.ndarray:
+    """Vectorized int_to_limbs: list of ints -> (len, n_limbs) uint32.
+
+    Uses int.to_bytes + frombuffer so conversion of 2^20-element twiddle /
+    SRS tables stays in the milliseconds."""
+    nbytes = n_limbs * 2
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), n_limbs)
+    return u16.astype(np.uint32)
+
+
+def limbs_to_int(arr) -> int:
+    arr = np.asarray(arr)
+    assert arr.ndim == 1
+    x = 0
+    for i in range(arr.shape[0] - 1, -1, -1):
+        x = (x << LIMB_BITS) | int(arr[i])
+    return x
+
+
+def limbs_to_ints(arr):
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, arr.shape[-1])
+    return [limbs_to_int(row) for row in flat]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """Static description + precomputed constants of a prime field."""
+
+    name: str
+    p: int          # modulus
+    L: int          # number of base-2^16 limbs; R = 2^(16 L)
+    # numpy constants (uint32 limb vectors)
+    p_limbs: np.ndarray
+    nprime_limbs: np.ndarray   # -p^{-1} mod R
+    r2_limbs: np.ndarray       # R^2 mod p (to_mont multiplier)
+    one_mont: np.ndarray       # R mod p (the unit in Montgomery form)
+    zero: np.ndarray
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def make(name: str, p: int, L: int) -> "FieldSpec":
+        Rint = 1 << (LIMB_BITS * L)
+        assert p < Rint // 4, "need >= 2 spare bits so that 2p < R"
+        nprime = (-pow(p, -1, Rint)) % Rint
+        return FieldSpec(
+            name=name,
+            p=p,
+            L=L,
+            p_limbs=int_to_limbs(p, L),
+            nprime_limbs=int_to_limbs(nprime, L),
+            r2_limbs=int_to_limbs(Rint * Rint % p, L),
+            one_mont=int_to_limbs(Rint % p, L),
+            zero=np.zeros((L,), dtype=np.uint32),
+        )
+
+    # -- host-side conversions (Montgomery-form device arrays <-> ints) -----
+    def to_device(self, xs) -> jnp.ndarray:
+        """ints (any nesting) -> Montgomery-form uint32 limb array."""
+        xs_arr = np.asarray(xs, dtype=object)
+        flat = [int(v) % self.p for v in xs_arr.reshape(-1)]
+        Rint = 1 << (LIMB_BITS * self.L)
+        mont = [(v * Rint) % self.p for v in flat]
+        out = ints_to_limbs(mont, self.L).reshape(xs_arr.shape + (self.L,))
+        return jnp.asarray(out)
+
+    def to_host(self, arr) -> np.ndarray:
+        """Montgomery-form limb array -> numpy object array of ints."""
+        arr = np.asarray(arr)
+        Rinv = pow(1 << (LIMB_BITS * self.L), -1, self.p)
+        vals = [v * Rinv % self.p for v in limbs_to_ints(arr)]
+        out = np.empty((len(vals),), dtype=object)
+        out[:] = vals
+        return out.reshape(arr.shape[:-1])
+
+
+# The two fields of BLS12-377.
+from . import bls12_377 as _C  # noqa: E402
+
+FR = FieldSpec.make("bls12_377_fr", _C.R_MOD, 16)
+FQ = FieldSpec.make("bls12_377_fq", _C.Q_MOD, 24)
+
+
+# ---------------------------------------------------------------------------
+# Carry machinery
+# ---------------------------------------------------------------------------
+
+def _carry_scan(c):
+    """Exact digit normalization of a redundant limb vector.
+
+    Input: uint32 digits c with every digit <= 2B-2 (i.e. < 2^17 - 1).
+    Output: (digits < B, carry_out) where carry_out is the carry out of the
+    top limb.  Carries are resolved with a Kogge-Stone generate/propagate
+    associative scan along the limb axis (depth log2 L) instead of a
+    sequential ripple — fully parallel on the VPU.
+    """
+    g = (c >= B).astype(U32)        # generates carry even with no carry-in
+    pr = (c == (B - 1)).astype(U32)  # propagates an incoming carry
+
+    def comb(a, b):
+        # a = lower-significance prefix, b = next segment
+        ga, pa = a
+        gb, pb = b
+        return (gb | (pb & ga), pa & pb)
+
+    G, _ = jax.lax.associative_scan(comb, (g, pr), axis=-1)
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1
+    )
+    d = c + carry_in
+    d = jnp.where(d >= B, d - B, d)
+    return d.astype(U32), G[..., -1]
+
+
+def _relax(c, extra_limb=True):
+    """One redistribution round: digits < 2^31  ->  digits <= B-1 + 2^15."""
+    lo = c & MASK
+    hi = c >> LIMB_BITS
+    if extra_limb:
+        lo = jnp.pad(lo, [(0, 0)] * (c.ndim - 1) + [(0, 1)])
+    else:
+        hi = hi[..., :-1]
+    return lo.at[..., 1:].add(hi)
+
+
+def normalize(c, n_out: int):
+    """Redundant digits (each < 2^31) -> exact canonical digits mod B^n_out."""
+    c = _relax(c)
+    d, _ = _carry_scan(c)
+    K = d.shape[-1]
+    if K < n_out:
+        d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, n_out - K)])
+    return d[..., :n_out]
+
+
+def _ge_sub(a, b_limbs_const):
+    """Given canonical a (value < 2*b possibly) and constant b: return
+    (a - b if a >= b else a).  Branchless: adds the two's-complement of b and
+    selects on the carry-out."""
+    K = a.shape[-1]
+    comp = (MASK - b_limbs_const).astype(np.uint32)  # per-limb complement
+    t = a + jnp.asarray(comp)[(None,) * (a.ndim - 1)]
+    t = t.at[..., 0].add(1)  # +1 completes the two's complement
+    # Digits can be up to 2B-1; one relax restores the _carry_scan bound.
+    # The top limb's high bits are part of the overall carry-out (a >= b):
+    # capture them before truncating to K limbs (mod B^K).
+    lo = t & MASK
+    hi = t >> LIMB_BITS
+    top_hi = hi[..., -1]
+    t = lo.at[..., 1:].add(hi[..., :-1])
+    d, carry = _carry_scan(t)
+    # carry-out == 1  <=>  a >= b  (no borrow)
+    take = ((top_hi | carry) != 0)[..., None]
+    return jnp.where(take, d, a)
+
+
+# ---------------------------------------------------------------------------
+# Schoolbook convolution (redundant output)
+# ---------------------------------------------------------------------------
+
+def _conv(a, b, n_out=None):
+    """c_k = sum_{i+j=k} a_i b_j with deferred carries.
+
+    a: (..., La), b: (..., Lb) canonical uint32 digits (< 2^16).
+    Output (..., n_out or La+Lb) redundant digits < 2^22 (safe for
+    normalize).  Each step is a full-batch vector op; the loop over limbs is
+    unrolled at trace time.
+    """
+    La = a.shape[-1]
+    Lb = b.shape[-1]
+    K = La + Lb if n_out is None else n_out
+    out = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (K,), U32)
+    for i in range(min(La, K)):
+        w = min(Lb, K - i)
+        if w <= 0:
+            break
+        p = a[..., i : i + 1] * b[..., :w]     # u32 product, fits exactly
+        out = out.at[..., i : i + w].add(p & MASK)
+        w_hi = min(Lb, K - i - 1)
+        if w_hi > 0:
+            out = out.at[..., i + 1 : i + 1 + w_hi].add(
+                (p[..., :w_hi] >> LIMB_BITS)
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Field ops (all take canonical Montgomery-form uint32 (..., L) arrays)
+# ---------------------------------------------------------------------------
+
+def add(spec: FieldSpec, a, b):
+    s = a + b  # <= 2B-2 per digit; value < 2p < B^L
+    d, _ = _carry_scan(s)
+    return _ge_sub(d, spec.p_limbs)
+
+
+def sub(spec: FieldSpec, a, b):
+    # a - b + p  (in [0, 2p)), via complement addition mod B^L
+    comp = (MASK - b) + jnp.asarray(spec.p_limbs)[(None,) * (b.ndim - 1)]
+    t = a + comp
+    t = t.at[..., 0].add(1)
+    t = _relax(t, extra_limb=False)  # mod B^L: drops the +B^L from complement
+    d, _ = _carry_scan(t)
+    return _ge_sub(d, spec.p_limbs)
+
+
+def neg(spec: FieldSpec, a):
+    zero = jnp.zeros_like(a)
+    return sub(spec, zero, a)
+
+
+def mul(spec: FieldSpec, a, b):
+    """Montgomery product: REDC(a * b)."""
+    L = spec.L
+    T = normalize(_conv(a, b), 2 * L)  # exact 2L-digit product
+    m = normalize(
+        _conv(T[..., :L], jnp.asarray(spec.nprime_limbs), n_out=L), L
+    )
+    S = _conv(m, jnp.asarray(spec.p_limbs))  # redundant, 2L digits
+    S = S.at[..., : 2 * L].add(T)
+    Sn = normalize(S, 2 * L)   # T + m p < B^{2L}; low L digits are zero
+    res = Sn[..., L:]
+    return _ge_sub(res, spec.p_limbs)
+
+
+def sqr(spec: FieldSpec, a):
+    return mul(spec, a, a)
+
+
+def double(spec: FieldSpec, a):
+    return add(spec, a, a)
+
+
+def mul_small(spec: FieldSpec, a, k: int):
+    """Multiply by a small public integer constant via repeated doubling."""
+    assert k >= 0
+    if k == 0:
+        return jnp.zeros_like(a)
+    acc = None
+    base = a
+    while k:
+        if k & 1:
+            acc = base if acc is None else add(spec, acc, base)
+        k >>= 1
+        if k:
+            base = add(spec, base, base)
+    return acc
+
+
+def is_zero(spec: FieldSpec, a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(spec: FieldSpec, a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(mask, a, b):
+    """mask ? a : b — mask shape broadcastable to a.shape[:-1]."""
+    return jnp.where(jnp.asarray(mask)[..., None], a, b)
+
+
+def pow_int(spec: FieldSpec, a, e: int):
+    """a^e for a host-known nonnegative int exponent, via fori_loop over the
+    bits (traced once — jaxpr size independent of e)."""
+    if e == 0:
+        return jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape).astype(U32)
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], np.uint32)
+    )
+
+    def body(i, acc):
+        acc = sqr(spec, acc)
+        with_mul = mul(spec, acc, a)
+        return select(bits[i] == 1, with_mul, acc)
+
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont), a.shape).astype(U32)
+    # first bit is always 1: start from a
+    return jax.lax.fori_loop(1, nbits, body, a) if nbits > 1 else a
+
+
+def inv(spec: FieldSpec, a):
+    """Field inverse via Fermat (a^(p-2)); inv(0) = 0."""
+    r = pow_int(spec, a, spec.p - 2)
+    return select(is_zero(spec, a), jnp.zeros_like(a), r)
+
+
+def batch_inv(spec: FieldSpec, a):
+    """Montgomery batch inversion over the second-to-last axis.
+
+    a: (..., N, L).  Zeros map to zeros (matching ark_ff::batch_inversion
+    semantics, ref algebra/ff/src/fields/mod.rs).
+    Cost: 2 prefix scans of muls + ONE field inversion.
+    """
+    one = jnp.asarray(spec.one_mont)
+    zmask = is_zero(spec, a)
+    safe = select(zmask, jnp.broadcast_to(one, a.shape), a)
+
+    mulf = lambda x, y: mul(spec, x, y)
+    prefix = jax.lax.associative_scan(mulf, safe, axis=-2)       # inclusive
+    rev = jnp.flip(safe, axis=-2)
+    suffix = jnp.flip(jax.lax.associative_scan(mulf, rev, axis=-2), axis=-2)
+    total = prefix[..., -1, :]
+    tinv = inv(spec, total)[..., None, :]
+
+    # a_i^{-1} = prefix_{i-1} * suffix_{i+1} * total^{-1}
+    sh = safe.shape
+    ones_row = jnp.broadcast_to(one, sh[:-2] + (1, sh[-1])).astype(U32)
+    pre_excl = jnp.concatenate([ones_row, prefix[..., :-1, :]], axis=-2)
+    suf_excl = jnp.concatenate([suffix[..., 1:, :], ones_row], axis=-2)
+    out = mul(spec, mul(spec, pre_excl, suf_excl), tinv)
+    return select(zmask, jnp.zeros_like(a), out)
+
+
+def to_mont(spec: FieldSpec, a_std):
+    return mul(spec, a_std, jnp.asarray(spec.r2_limbs))
+
+
+def from_mont(spec: FieldSpec, a):
+    one_std = np.zeros((spec.L,), np.uint32)
+    one_std[0] = 1
+    return mul(spec, a, jnp.asarray(one_std))
+
+
+def rand(spec: FieldSpec, rng: np.random.Generator, shape=()):
+    """Host-side uniform field elements, returned in Montgomery device form."""
+    n = int(np.prod(shape)) if shape else 1
+    out = []
+    for _ in range(n):
+        v = 0
+        for _ in range((spec.p.bit_length() + 59) // 60):
+            v = (v << 60) | int(rng.integers(0, 1 << 60))
+        out.append(v % spec.p)
+    arr = ints_to_limbs([(v << (LIMB_BITS * spec.L)) % spec.p for v in out], spec.L)
+    return jnp.asarray(arr.reshape(shape + (spec.L,)))

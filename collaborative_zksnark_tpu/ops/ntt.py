@@ -1,0 +1,281 @@
+"""NTT / iNTT over the device field: radix-2 and mixed-radix 3*2^k domains.
+
+TPU-native re-design of the reference's FFT layer
+(ref: algebra/poly/src/domain/radix2/fft.rs:37-245 serial+parallel radix-2;
+ algebra/poly/src/domain/mixed_radix.rs:133-350 mixed-radix 3*2^k, needed by
+ the Plonk wires domain, ref mpc-plonk/src/relations/flat.rs:282-301).
+
+Design: iterative decimation-in-time butterflies, fully vectorized — each of
+the log2(N) stages is ONE batched field multiplication (N/2 elements) plus an
+add and a subtract on (N/2, L) limb arrays.  There is no scalar loop over
+elements; the stage loop is unrolled at trace time (<= ~47 stages).  Twiddle
+tables are precomputed host-side per domain (cached) and live in HBM in
+Montgomery form.
+
+A key property inherited from the reference's MPC design (SURVEY.md §1,
+"trick 1"): NTTs over *secret-shared* vectors are entirely local per party,
+because the butterflies are linear with public twiddles — so these same
+kernels run unchanged on shares.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra import bls12_377 as C
+from ..algebra import field as F
+from ..algebra.field import FieldSpec
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev.astype(np.int32)
+
+
+def _pow_table(base: int, n: int, p: int) -> list[int]:
+    """[base^0, base^1, ..., base^(n-1)] mod p (host ints)."""
+    out = [1] * n
+    acc = 1
+    for i in range(1, n):
+        acc = acc * base % p
+        out[i] = acc
+    return out
+
+
+def _to_mont_limbs(spec: FieldSpec, ints) -> np.ndarray:
+    Rint = 1 << (F.LIMB_BITS * spec.L)
+    return F.ints_to_limbs([v * Rint % spec.p for v in ints], spec.L)
+
+
+class Radix2Domain:
+    """Evaluation domain of size N = 2^k with generator omega (order N).
+
+    Mirrors ark-poly's Radix2EvaluationDomain semantics: `fft` maps
+    coefficients -> evaluations at [omega^0 .. omega^(N-1)] in natural order.
+    """
+
+    def __init__(self, spec: FieldSpec, n: int):
+        assert n & (n - 1) == 0 and n >= 1
+        self.spec = spec
+        self.n = n
+        k = n.bit_length() - 1
+        self.log_n = k
+        p = spec.p
+        if spec is F.FR:
+            assert k <= C.FR_TWO_ADICITY
+            omega = pow(C.FR_TWO_ADIC_ROOT, 1 << (C.FR_TWO_ADICITY - k), p)
+        else:
+            raise NotImplementedError("only Fr domains are used by the SNARKs")
+        self.omega = omega
+        self.omega_inv = pow(omega, p - 2, p)
+        self.n_inv_mont = jnp.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
+        self._perm = jnp.asarray(_bit_reverse_perm(n))
+        # stage twiddle tables: stage s (1-indexed) has half-block 2^(s-1)
+        # twiddles [w^0 .. w^(h-1)] with w = omega^(n / 2^s).
+        self._tw_fwd = self._stage_twiddles(omega)
+        self._tw_inv = self._stage_twiddles(self.omega_inv)
+
+    def _stage_twiddles(self, omega: int):
+        p = self.spec.p
+        tws = []
+        for s in range(1, self.log_n + 1):
+            h = 1 << (s - 1)
+            w = pow(omega, self.n >> s, p)
+            tws.append(jnp.asarray(_to_mont_limbs(self.spec, _pow_table(w, h, p))))
+        return tws
+
+    def elements(self) -> list[int]:
+        return _pow_table(self.omega, self.n, self.spec.p)
+
+    # -- core transforms ---------------------------------------------------
+    def _butterflies(self, x, tws):
+        spec = self.spec
+        n = self.n
+        for s in range(1, self.log_n + 1):
+            m = 1 << s
+            h = m >> 1
+            xb = x.reshape((n // m, m, spec.L))
+            lo = xb[:, :h]
+            hi = F.mul(spec, xb[:, h:], tws[s - 1][None])
+            x = jnp.concatenate(
+                [F.add(spec, lo, hi), F.sub(spec, lo, hi)], axis=1
+            ).reshape((n, spec.L))
+        return x
+
+    def fft(self, coeffs):
+        """coefficients (n, L) -> evaluations (n, L), natural order."""
+        x = jnp.take(coeffs, self._perm, axis=0)
+        return self._butterflies(x, self._tw_fwd)
+
+    def ifft(self, evals):
+        x = jnp.take(evals, self._perm, axis=0)
+        x = self._butterflies(x, self._tw_inv)
+        return F.mul(self.spec, x, self.n_inv_mont[None])
+
+    # -- coset transforms (g = Fr multiplicative generator) -----------------
+    @functools.cached_property
+    def _coset_g(self):
+        g = C.FR_GENERATOR
+        return jnp.asarray(_to_mont_limbs(self.spec, _pow_table(g, self.n, self.spec.p)))
+
+    @functools.cached_property
+    def _coset_g_inv(self):
+        ginv = pow(C.FR_GENERATOR, self.spec.p - 2, self.spec.p)
+        return jnp.asarray(
+            _to_mont_limbs(self.spec, _pow_table(ginv, self.n, self.spec.p))
+        )
+
+    def coset_fft(self, coeffs):
+        """Evaluations over the coset g*H (ref: distribute_powers + fft)."""
+        return self.fft(F.mul(self.spec, coeffs, self._coset_g))
+
+    def coset_ifft(self, evals):
+        return F.mul(self.spec, self.ifft(evals), self._coset_g_inv)
+
+    def vanishing_on_coset_inv(self):
+        """1 / Z_H(g x) for x in H: Z_H(g w^i) = g^n - 1, a scalar
+        (ref: domain/mod.rs evaluate_vanishing_polynomial over cosets)."""
+        p = self.spec.p
+        val = (pow(C.FR_GENERATOR, self.n, p) - 1) % p
+        return jnp.asarray(_to_mont_limbs(self.spec, [pow(val, p - 2, p)])[0])
+
+
+class MixedRadixDomain:
+    """Evaluation domain of size N = 3 * 2^k (the Plonk wires domain).
+
+    Cooley-Tukey split N = 3*M: three size-M radix-2 NTTs on the stride-3
+    slices, twiddle multiply, then a DFT-3 combine across the three halves
+    (ref behavior: algebra/poly/src/domain/mixed_radix.rs).
+    """
+
+    def __init__(self, spec: FieldSpec, n: int):
+        assert n % 3 == 0
+        m = n // 3
+        assert m & (m - 1) == 0
+        assert spec is F.FR
+        p = spec.p
+        self.spec = spec
+        self.n = n
+        self.m = m
+        k = m.bit_length() - 1
+        # generator of the order-(3*2^47) subgroup, raised to get order 3*2^k
+        assert k <= C.FR_TWO_ADICITY
+        omega = pow(C.FR_LARGE_SUBGROUP_ROOT, 1 << (C.FR_TWO_ADICITY - k), p)
+        assert pow(omega, n, p) == 1 and pow(omega, n // 3, p) != 1
+        self.omega = omega
+        self.omega_inv = pow(omega, p - 2, p)
+        self.n_inv_mont = jnp.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
+        self.sub = Radix2Domain(spec, m)
+        # the sub-domain generator must equal omega^3
+        assert self.sub.omega == pow(omega, 3, p)
+        self._tw_fwd = self._twiddles(omega)
+        self._tw_inv = self._twiddles(self.omega_inv)
+        w3 = pow(omega, m, p)  # primitive cube root of unity
+        self._w3_fwd = self._dft3_consts(w3)
+        self._w3_inv = self._dft3_consts(pow(w3, 2, p))
+
+    def _twiddles(self, omega: int):
+        # tw[r] = [omega^(r*k0) for k0 < M], r = 0,1,2
+        p = self.spec.p
+        return [
+            jnp.asarray(
+                _to_mont_limbs(self.spec, _pow_table(pow(omega, r, p), self.m, p))
+            )
+            for r in range(3)
+        ]
+
+    def _dft3_consts(self, w3: int):
+        p = self.spec.p
+        return (
+            jnp.asarray(_to_mont_limbs(self.spec, [w3])[0]),
+            jnp.asarray(_to_mont_limbs(self.spec, [w3 * w3 % p])[0]),
+        )
+
+    def elements(self) -> list[int]:
+        return _pow_table(self.omega, self.n, self.spec.p)
+
+    def _transform(self, x, tws, w3c, sub_tf):
+        spec = self.spec
+        m = self.m
+        # stride-3 decimation
+        parts = [sub_tf(x[r::3]) for r in range(3)]
+        # twiddle multiply: B_r[k0] = tw[r][k0] * A_r[k0]
+        b0 = parts[0]
+        b1 = F.mul(spec, parts[1], tws[1])
+        b2 = F.mul(spec, parts[2], tws[2])
+        w3, w3sq = w3c
+        # X[k0 + M*k1] = sum_r w3^(r*k1) * B_r[k0]
+        x0 = F.add(spec, b0, F.add(spec, b1, b2))
+        t1 = F.mul(spec, b1, w3[None])
+        t2 = F.mul(spec, b2, w3sq[None])
+        x1 = F.add(spec, b0, F.add(spec, t1, t2))
+        u1 = F.mul(spec, b1, w3sq[None])
+        u2 = F.mul(spec, b2, w3[None])
+        x2 = F.add(spec, b0, F.add(spec, u1, u2))
+        return jnp.concatenate([x0, x1, x2], axis=0)
+
+    def fft(self, coeffs):
+        return self._transform(coeffs, self._tw_fwd, self._w3_fwd, self.sub.fft)
+
+    def ifft(self, evals):
+        # inverse: same structure with omega^{-1}, then scale by 1/N.
+        # Note the stride decimation for the inverse maps evaluations with
+        # the same index pattern (the transform with omega_inv is the
+        # unnormalized inverse DFT).
+        spec = self.spec
+        x = self._transform(
+            evals, self._tw_inv, self._w3_inv, self.sub._ifft_unnormalized
+        )
+        return F.mul(spec, x, self.n_inv_mont[None])
+
+    @functools.cached_property
+    def _coset_g(self):
+        return jnp.asarray(
+            _to_mont_limbs(self.spec, _pow_table(C.FR_GENERATOR, self.n, self.spec.p))
+        )
+
+    @functools.cached_property
+    def _coset_g_inv(self):
+        ginv = pow(C.FR_GENERATOR, self.spec.p - 2, self.spec.p)
+        return jnp.asarray(
+            _to_mont_limbs(self.spec, _pow_table(ginv, self.n, self.spec.p))
+        )
+
+    def coset_fft(self, coeffs):
+        return self.fft(F.mul(self.spec, coeffs, self._coset_g))
+
+    def coset_ifft(self, evals):
+        return F.mul(self.spec, self.ifft(evals), self._coset_g_inv)
+
+
+def _ifft_unnormalized(self, evals):
+    x = jnp.take(evals, self._perm, axis=0)
+    return self._butterflies(x, self._tw_inv)
+
+
+Radix2Domain._ifft_unnormalized = _ifft_unnormalized
+
+
+@functools.lru_cache(maxsize=None)
+def get_radix2_domain(n: int, spec: FieldSpec = F.FR) -> Radix2Domain:
+    size = 1
+    while size < n:
+        size <<= 1
+    return Radix2Domain(spec, size)
+
+
+@functools.lru_cache(maxsize=None)
+def get_mixed_domain(n: int, spec: FieldSpec = F.FR) -> MixedRadixDomain:
+    """Smallest 3*2^k domain of size >= n."""
+    m = 1
+    while 3 * m < n:
+        m <<= 1
+    return MixedRadixDomain(spec, 3 * m)
