@@ -209,30 +209,37 @@ def _ge_sub(a, b_limbs_const):
 # Schoolbook convolution (redundant output)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _conv_mats(La: int, Lb: int, K: int):
+    """One-hot anti-diagonal scatter matrices for limb convolution."""
+    m_lo = np.zeros((La * Lb, K), np.uint32)
+    m_hi = np.zeros((La * Lb, K), np.uint32)
+    for i in range(La):
+        for j in range(Lb):
+            if i + j < K:
+                m_lo[i * Lb + j, i + j] = 1
+            if i + j + 1 < K:
+                m_hi[i * Lb + j, i + j + 1] = 1
+    return m_lo, m_hi  # numpy (constants are materialized per-trace)
+
+
 def _conv(a, b, n_out=None):
     """c_k = sum_{i+j=k} a_i b_j with deferred carries.
 
     a: (..., La), b: (..., Lb) canonical uint32 digits (< 2^16).
     Output (..., n_out or La+Lb) redundant digits < 2^22 (safe for
-    normalize).  Each step is a full-batch vector op; the loop over limbs is
-    unrolled at trace time.
+    normalize).  Formulated as an outer product + two one-hot matmuls so the
+    whole convolution is 4 XLA ops regardless of L (compile-time friendly;
+    the Pallas kernel path replaces this on TPU hot loops).
     """
     La = a.shape[-1]
     Lb = b.shape[-1]
     K = La + Lb if n_out is None else n_out
-    out = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (K,), U32)
-    for i in range(min(La, K)):
-        w = min(Lb, K - i)
-        if w <= 0:
-            break
-        p = a[..., i : i + 1] * b[..., :w]     # u32 product, fits exactly
-        out = out.at[..., i : i + w].add(p & MASK)
-        w_hi = min(Lb, K - i - 1)
-        if w_hi > 0:
-            out = out.at[..., i + 1 : i + 1 + w_hi].add(
-                (p[..., :w_hi] >> LIMB_BITS)
-            )
-    return out
+    outer = a[..., :, None] * b[..., None, :]   # u32 products, exact
+    lo = (outer & MASK).reshape(outer.shape[:-2] + (La * Lb,))
+    hi = (outer >> LIMB_BITS).reshape(outer.shape[:-2] + (La * Lb,))
+    m_lo, m_hi = _conv_mats(La, Lb, K)
+    return lo @ jnp.asarray(m_lo) + hi @ jnp.asarray(m_hi)
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +275,7 @@ def mul(spec: FieldSpec, a, b):
         _conv(T[..., :L], jnp.asarray(spec.nprime_limbs), n_out=L), L
     )
     S = _conv(m, jnp.asarray(spec.p_limbs))  # redundant, 2L digits
-    S = S.at[..., : 2 * L].add(T)
+    S = S + T
     Sn = normalize(S, 2 * L)   # T + m p < B^{2L}; low L digits are zero
     res = Sn[..., L:]
     return _ge_sub(res, spec.p_limbs)

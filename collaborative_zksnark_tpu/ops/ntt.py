@@ -82,6 +82,12 @@ class Radix2Domain:
         # twiddles [w^0 .. w^(h-1)] with w = omega^(n / 2^s).
         self._tw_fwd = self._stage_twiddles(omega)
         self._tw_inv = self._stage_twiddles(self.omega_inv)
+        # jit entry points (per-instance compile, amortized via lru_cache'd
+        # domain construction + the persistent compilation cache)
+        self.fft = jax.jit(self.fft)
+        self.ifft = jax.jit(self.ifft)
+        self.coset_fft = jax.jit(self.coset_fft)
+        self.coset_ifft = jax.jit(self.coset_ifft)
 
     def _stage_twiddles(self, omega: int):
         p = self.spec.p
@@ -181,6 +187,10 @@ class MixedRadixDomain:
         w3 = pow(omega, m, p)  # primitive cube root of unity
         self._w3_fwd = self._dft3_consts(w3)
         self._w3_inv = self._dft3_consts(pow(w3, 2, p))
+        self.fft = jax.jit(self.fft)
+        self.ifft = jax.jit(self.ifft)
+        self.coset_fft = jax.jit(self.coset_fft)
+        self.coset_ifft = jax.jit(self.coset_ifft)
 
     def _twiddles(self, omega: int):
         # tw[r] = [omega^(r*k0) for k0 < M], r = 0,1,2
