@@ -83,6 +83,7 @@ class FieldSpec:
     L: int          # number of base-2^16 limbs; R = 2^(16 L)
     # numpy constants (uint32 limb vectors)
     p_limbs: np.ndarray
+    twop_limbs: np.ndarray     # 2p (lazy-reduction bound)
     nprime_limbs: np.ndarray   # -p^{-1} mod R
     r2_limbs: np.ndarray       # R^2 mod p (to_mont multiplier)
     one_mont: np.ndarray       # R mod p (the unit in Montgomery form)
@@ -99,6 +100,7 @@ class FieldSpec:
             p=p,
             L=L,
             p_limbs=int_to_limbs(p, L),
+            twop_limbs=int_to_limbs(2 * p, L),
             nprime_limbs=int_to_limbs(nprime, L),
             r2_limbs=int_to_limbs(Rint * Rint % p, L),
             one_mont=int_to_limbs(Rint % p, L),
@@ -145,19 +147,19 @@ def _carry_scan(c):
     associative scan along the limb axis (depth log2 L) instead of a
     sequential ripple — fully parallel on the VPU.
     """
-    g = (c >= B).astype(U32)        # generates carry even with no carry-in
-    pr = (c == (B - 1)).astype(U32)  # propagates an incoming carry
-
-    def comb(a, b):
-        # a = lower-significance prefix, b = next segment
-        ga, pa = a
-        gb, pb = b
-        return (gb | (pb & ga), pa & pb)
-
-    G, _ = jax.lax.associative_scan(comb, (g, pr), axis=-1)
-    carry_in = jnp.concatenate(
-        [jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1
-    )
+    G = (c >= B).astype(U32)        # generates carry even with no carry-in
+    Pp = (c == (B - 1)).astype(U32)  # propagates an incoming carry
+    # manual Kogge-Stone: fewer primitives than lax.associative_scan
+    K = c.shape[-1]
+    d = 1
+    pad_cfg = [(0, 0)] * (c.ndim - 1)
+    while d < K:
+        Gs = jnp.pad(G[..., :-d], pad_cfg + [(d, 0)])                  # shift, fill 0
+        Ps = jnp.pad(Pp[..., :-d], pad_cfg + [(d, 0)], constant_values=1)
+        G = G | (Pp & Gs)
+        Pp = Pp & Ps
+        d <<= 1
+    carry_in = jnp.pad(G[..., :-1], pad_cfg + [(1, 0)])
     d = c + carry_in
     d = jnp.where(d >= B, d - B, d)
     return d.astype(U32), G[..., -1]
@@ -243,23 +245,43 @@ def _conv(a, b, n_out=None):
 
 
 # ---------------------------------------------------------------------------
-# Field ops (all take canonical Montgomery-form uint32 (..., L) arrays)
+# Field ops.
+#
+# Lazy-reduction invariant: a stored element is a canonical little-endian
+# digit vector (every digit < 2^16) whose VALUE lies in [0, 2p) — i.e. we do
+# not reduce below p after Montgomery REDC (REDC output is < 2p whenever its
+# inputs are, since p < R/4).  add/sub conditionally subtract 2p to stay
+# closed.  Equality / zero tests and host conversion account for the p-offset
+# ambiguity.  This keeps Montgomery multiplication at a SINGLE carry scan,
+# which dominates both HLO-size (compile time) and latency.
 # ---------------------------------------------------------------------------
 
+def _relax2(c, n_out: int):
+    """Redundant digits (< 2^31) -> digits <= B (note: <= B, not < B), value
+    preserved mod B^n_out.  Cheaper than a full carry scan; output is a valid
+    *convolution input* (products still fit in uint32 when the other operand
+    is canonical)."""
+    for _ in range(2):
+        lo = c & MASK
+        hi = c >> LIMB_BITS
+        c = lo.at[..., 1:].add(hi[..., :-1])
+    return c[..., :n_out]
+
+
 def add(spec: FieldSpec, a, b):
-    s = a + b  # <= 2B-2 per digit; value < 2p < B^L
+    s = a + b  # digits <= 2B-2; value < 4p < B^L
     d, _ = _carry_scan(s)
-    return _ge_sub(d, spec.p_limbs)
+    return _ge_sub(d, spec.twop_limbs)
 
 
 def sub(spec: FieldSpec, a, b):
-    # a - b + p  (in [0, 2p)), via complement addition mod B^L
-    comp = (MASK - b) + jnp.asarray(spec.p_limbs)[(None,) * (b.ndim - 1)]
+    # a - b + 2p  (in (0, 4p)), via complement addition mod B^L
+    comp = (MASK - b) + jnp.asarray(spec.twop_limbs)[(None,) * (b.ndim - 1)]
     t = a + comp
     t = t.at[..., 0].add(1)
     t = _relax(t, extra_limb=False)  # mod B^L: drops the +B^L from complement
     d, _ = _carry_scan(t)
-    return _ge_sub(d, spec.p_limbs)
+    return _ge_sub(d, spec.twop_limbs)
 
 
 def neg(spec: FieldSpec, a):
@@ -268,17 +290,26 @@ def neg(spec: FieldSpec, a):
 
 
 def mul(spec: FieldSpec, a, b):
-    """Montgomery product: REDC(a * b)."""
+    """Montgomery product REDC(a*b): single-carry-scan formulation.
+
+    Inputs in [0, 2p) => T = a*b < 4p^2, S = T + m*p < 4p^2 + R*p < R^2
+    (p < R/4), and the result S/R < 4p^2/R + p < 2p — closed, no final
+    conditional subtraction needed.
+    """
     L = spec.L
-    T = normalize(_conv(a, b), 2 * L)  # exact 2L-digit product
-    m = normalize(
-        _conv(T[..., :L], jnp.asarray(spec.nprime_limbs), n_out=L), L
-    )
-    S = _conv(m, jnp.asarray(spec.p_limbs))  # redundant, 2L digits
-    S = S + T
-    Sn = normalize(S, 2 * L)   # T + m p < B^{2L}; low L digits are zero
-    res = Sn[..., L:]
-    return _ge_sub(res, spec.p_limbs)
+    T = _conv(a, b)                                 # 2L redundant digits
+    t_low = _relax2(T[..., :L], L)                  # T mod B^L, digits <= B
+    m = _relax2(
+        _conv(t_low, jnp.asarray(spec.nprime_limbs), n_out=L), L
+    )                                               # digits <= B
+    S = _conv(m, jnp.asarray(spec.p_limbs)) + T     # redundant, 2L digits
+    Sn = normalize(S, 2 * L)                        # ONE carry scan
+    return Sn[..., L:]                              # (T + m p)/R  in [0, 2p)
+
+
+def canon(spec: FieldSpec, a):
+    """[0,2p) -> fully reduced [0,p) (for comparisons / serialization)."""
+    return _ge_sub(a, spec.p_limbs)
 
 
 def sqr(spec: FieldSpec, a):
@@ -306,11 +337,13 @@ def mul_small(spec: FieldSpec, a, k: int):
 
 
 def is_zero(spec: FieldSpec, a):
-    return jnp.all(a == 0, axis=-1)
+    # value in [0, 2p): zero iff digits are all-0 or equal p
+    pl = jnp.asarray(spec.p_limbs)
+    return jnp.all(a == 0, axis=-1) | jnp.all(a == pl, axis=-1)
 
 
 def eq(spec: FieldSpec, a, b):
-    return jnp.all(a == b, axis=-1)
+    return is_zero(spec, sub(spec, a, b))
 
 
 def select(mask, a, b):
@@ -376,9 +409,10 @@ def to_mont(spec: FieldSpec, a_std):
 
 
 def from_mont(spec: FieldSpec, a):
+    """Montgomery -> standard form, fully reduced (canonical < p)."""
     one_std = np.zeros((spec.L,), np.uint32)
     one_std[0] = 1
-    return mul(spec, a, jnp.asarray(one_std))
+    return canon(spec, mul(spec, a, jnp.asarray(one_std)))
 
 
 def rand(spec: FieldSpec, rng: np.random.Generator, shape=()):

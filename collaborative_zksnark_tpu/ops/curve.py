@@ -1,0 +1,381 @@
+"""Device (JAX) elliptic-curve ops: branchless Jacobian arithmetic over
+Fq and Fq2 limb vectors.
+
+TPU-native re-design of the reference's curve layer
+(ref: algebra/ec/src/models/short_weierstrass_jacobian.rs — SW Jacobian
+add/double; ec/src/lib.rs:300-315 scalar_mul / multi_scalar_mul hooks).
+
+Key differences from the CPU design:
+  * points are *batches*: (X, Y, Z) limb arrays of shape (..., L) (G1) or
+    (..., 2, L) (G2 over Fq2), identity encoded as Z == 0;
+  * add/double are branch-free — the exceptional cases (identity operands,
+    P == Q, P == -Q) are computed alongside and merged with vector selects,
+    so the ops map onto the VPU with no data-dependent control flow;
+  * the curve code is generic over a small "device field" interface, so G1
+    (Fq) and G2 (Fq2 = Fq[u]/(u^2+5)) share one implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra import bls12_377 as C
+from ..algebra import field as F
+from ..algebra.field import FQ, FR
+
+
+class DevFq:
+    """Device field interface over base-field limb arrays (..., L)."""
+
+    spec = FQ
+
+    def add(self, a, b):
+        return F.add(self.spec, a, b)
+
+    def sub(self, a, b):
+        return F.sub(self.spec, a, b)
+
+    def mul(self, a, b):
+        return F.mul(self.spec, a, b)
+
+    def sqr(self, a):
+        return F.sqr(self.spec, a)
+
+    def neg(self, a):
+        return F.neg(self.spec, a)
+
+    def is_zero(self, a):
+        return F.is_zero(self.spec, a)
+
+    def select(self, mask, a, b):
+        return jnp.where(jnp.asarray(mask)[..., None], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return jnp.broadcast_to(jnp.asarray(self.spec.one_mont), a.shape).astype(
+            jnp.uint32
+        )
+
+    def double(self, a):
+        return F.add(self.spec, a, a)
+
+    def mul_small(self, a, k):
+        return F.mul_small(self.spec, a, k)
+
+    def mul_many(self, pairs):
+        """Independent products computed as ONE stacked multiplication —
+        the jaxpr/HLO footprint of a single mul regardless of len(pairs)."""
+        a = jnp.stack([p[0] for p in pairs])
+        b = jnp.stack([p[1] for p in pairs])
+        r = self.mul(a, b)
+        return [r[i] for i in range(len(pairs))]
+
+    # host conversions: elements are ints
+    def to_device(self, xs):
+        return self.spec.to_device(xs)
+
+    def to_host(self, arr):
+        return self.spec.to_host(arr)
+
+
+class DevFq2:
+    """Fq2 = Fq[u]/(u^2 + 5) over stacked limb arrays (..., 2, L)."""
+
+    spec = FQ
+    NR = -5  # nonresidue (ref curves/bls12_377/src/fields/fq2.rs:13)
+
+    def add(self, a, b):
+        return F.add(self.spec, a, b)
+
+    def sub(self, a, b):
+        return F.sub(self.spec, a, b)
+
+    def neg(self, a):
+        return F.neg(self.spec, a)
+
+    def mul(self, a, b):
+        s = self.spec
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        # Karatsuba with the three base-field products stacked into one op
+        sa = jnp.stack([a0, a1, F.add(s, a0, a1)])
+        sb = jnp.stack([b0, b1, F.add(s, b0, b1)])
+        t = F.mul(s, sa, sb)
+        t0, t1, t01 = t[0], t[1], t[2]
+        c1 = F.sub(s, t01, F.add(s, t0, t1))
+        # c0 = t0 - 5 t1
+        c0 = F.sub(s, t0, F.mul_small(s, t1, 5))
+        return jnp.stack([c0, c1], axis=-2)
+
+    def mul_many(self, pairs):
+        a = jnp.stack([p[0] for p in pairs])
+        b = jnp.stack([p[1] for p in pairs])
+        r = self.mul(a, b)
+        return [r[i] for i in range(len(pairs))]
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def select(self, mask, a, b):
+        return jnp.where(jnp.asarray(mask)[..., None, None], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        one = jnp.broadcast_to(jnp.asarray(self.spec.one_mont), a[..., 0, :].shape)
+        return jnp.stack([one, jnp.zeros_like(one)], axis=-2).astype(jnp.uint32)
+
+    def double(self, a):
+        return F.add(self.spec, a, a)
+
+    def mul_small(self, a, k):
+        return F.mul_small(self.spec, a, k)
+
+    # host conversions: elements are (c0, c1) int pairs
+    def to_device(self, xs):
+        flat = []
+        for c0, c1 in xs:
+            flat.append(c0)
+            flat.append(c1)
+        arr = self.spec.to_device(flat)
+        return arr.reshape((len(xs), 2, self.spec.L))
+
+    def to_host(self, arr):
+        vals = self.spec.to_host(arr)
+        flat = vals.reshape(-1, 2)
+        return [(int(c[0]), int(c[1])) for c in flat]
+
+
+FQ_OPS = DevFq()
+FQ2_OPS = DevFq2()
+
+
+class JacPoint(NamedTuple):
+    """Batched Jacobian point; identity <=> z == 0 (all limbs)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+def zero_point(fld, shape_like: JacPoint) -> JacPoint:
+    one = fld.one_like(shape_like.x)
+    zero = fld.zeros_like(shape_like.x)
+    return JacPoint(one, one, zero)
+
+
+def point_double(fld, P: JacPoint) -> JacPoint:
+    """2P for a=0 curves (dbl-2009-l).  Identity maps to identity (Z=0 stays
+    0).  Independent field products are stacked into batched muls (4 mul ops
+    total) to keep the HLO graph small — scans/loops trace this many times."""
+    A, Bv, YZ = fld.mul_many([(P.x, P.x), (P.y, P.y), (P.y, P.z)])
+    xb = fld.add(P.x, Bv)
+    Cv, t = fld.mul_many([(Bv, Bv), (xb, xb)])
+    D = fld.double(fld.sub(t, fld.add(A, Cv)))
+    E = fld.add(fld.double(A), A)  # 3A
+    Fv = fld.mul(E, E)
+    X3 = fld.sub(Fv, fld.double(D))
+    Y3 = fld.sub(fld.mul(E, fld.sub(D, X3)), fld.mul_small(Cv, 8))
+    Z3 = fld.double(YZ)
+    return JacPoint(X3, Y3, Z3)
+
+
+def point_add(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
+    """General branchless add: handles identity operands, doubling, and
+    inverse pairs via vector selects (no control flow).  The Jacobian add
+    and the doubling path are evaluated together with their independent
+    products stacked into 5 batched muls."""
+    # G1
+    Z1Z1, Z2Z2, A, Bv, YZ = fld.mul_many(
+        [(P.z, P.z), (Q.z, Q.z), (P.x, P.x), (P.y, P.y), (P.y, P.z)]
+    )
+    xb = fld.add(P.x, Bv)
+    # G2
+    U1, U2, t1, t2, Cv, tD = fld.mul_many(
+        [(P.x, Z2Z2), (Q.x, Z1Z1), (Q.z, Z2Z2), (P.z, Z1Z1), (Bv, Bv), (xb, xb)]
+    )
+    H = fld.sub(U2, U1)
+    E = fld.add(fld.double(A), A)
+    D = fld.double(fld.sub(tD, fld.add(A, Cv)))
+    # G3
+    S1, S2, HH, Z1Z2, Fv = fld.mul_many(
+        [(P.y, t1), (Q.y, t2), (H, H), (P.z, Q.z), (E, E)]
+    )
+    r = fld.sub(S2, S1)
+    Xd = fld.sub(Fv, fld.double(D))
+    # G4
+    HHH, V, r2, Z3, Yd1 = fld.mul_many(
+        [(H, HH), (U1, HH), (r, r), (Z1Z2, H), (E, fld.sub(D, Xd))]
+    )
+    X3 = fld.sub(fld.sub(r2, HHH), fld.double(V))
+    Yd = fld.sub(Yd1, fld.mul_small(Cv, 8))
+    Zd = fld.double(YZ)
+    # G5
+    Y3a, Y3b = fld.mul_many([(r, fld.sub(V, X3)), (S1, HHH)])
+    Y3 = fld.sub(Y3a, Y3b)
+
+    added = JacPoint(X3, Y3, Z3)
+    doubled = JacPoint(Xd, Yd, Zd)
+
+    p1_inf = fld.is_zero(P.z)
+    p2_inf = fld.is_zero(Q.z)
+    eq_x = fld.is_zero(H)
+    eq_y = fld.is_zero(r)
+
+    zero = zero_point(fld, P)
+    sel = fld.select
+    out = added
+    out = JacPoint(*(sel(eq_x & eq_y, d, o) for d, o in zip(doubled, out)))
+    out = JacPoint(*(sel(eq_x & ~eq_y, z, o) for z, o in zip(zero, out)))
+    out = JacPoint(*(sel(p1_inf, q, o) for q, o in zip(Q, out)))
+    out = JacPoint(*(sel(p2_inf & ~p1_inf, p, o) for p, o in zip(P, out)))
+    return out
+
+
+def point_neg(fld, P: JacPoint) -> JacPoint:
+    return JacPoint(P.x, fld.neg(P.y), P.z)
+
+
+def point_select(fld, mask, P: JacPoint, Q: JacPoint) -> JacPoint:
+    return JacPoint(*(fld.select(mask, a, b) for a, b in zip(P, Q)))
+
+
+def _shift_points(P: JacPoint, s) -> JacPoint:
+    """Shift a point batch right by a (possibly traced) offset s along axis
+    0, filling with the identity (all-zero coords => Z=0)."""
+    n = P.x.shape[0]
+
+    def sh(a):
+        pad = jnp.zeros_like(a)
+        big = jnp.concatenate([pad, a], axis=0)
+        return jax.lax.dynamic_slice_in_dim(big, n - s, n, axis=0)
+
+    return JacPoint(sh(P.x), sh(P.y), sh(P.z))
+
+
+def reduce_points(fld, P: JacPoint) -> JacPoint:
+    """Sum of a batch of points along axis 0, as a single scalar point.
+
+    Hillis-Steele shift-add with a fori_loop over the log2(N) levels: only
+    ONE point_add site is traced, keeping the HLO graph small enough to use
+    inside scans and loops.  (N log N work; the work-efficient variant lives
+    in the Pallas path.)
+    """
+    n = P.x.shape[0]
+    levels = max(1, (n - 1).bit_length())
+
+    def body(d, Q):
+        s = jnp.left_shift(1, d)
+        return point_add(fld, Q, _shift_points(Q, s))
+
+    Q = jax.lax.fori_loop(0, levels, body, P)
+    return JacPoint(Q.x[n - 1], Q.y[n - 1], Q.z[n - 1])
+
+
+def tree_reduce(fld, P: JacPoint) -> JacPoint:
+    """Sum a batch of points along axis 0 by pairwise halving (log2 N
+    batched adds — the vector-machine analog of a sequential accumulation)."""
+    n = P.x.shape[0]
+    # pad to a power of two with identities
+    m = 1
+    while m < n:
+        m <<= 1
+    if m != n:
+        pad = zero_point(fld, JacPoint(P.x[:1], P.y[:1], P.z[:1]))
+        padder = lambda a, pz: jnp.concatenate(
+            [a, jnp.broadcast_to(pz, (m - n,) + a.shape[1:])], axis=0
+        )
+        P = JacPoint(
+            padder(P.x, pad.x), padder(P.y, pad.y), padder(P.z, pad.z)
+        )
+    while m > 1:
+        h = m // 2
+        P = point_add(
+            fld,
+            JacPoint(P.x[:h], P.y[:h], P.z[:h]),
+            JacPoint(P.x[h : 2 * h], P.y[h : 2 * h], P.z[h : 2 * h]),
+        )
+        m = h
+    return P
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversions
+# ---------------------------------------------------------------------------
+
+def g1_from_host(points) -> JacPoint:
+    """List of affine (x, y) int pairs or None -> batched Jacobian point."""
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(1)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append(1)
+    return JacPoint(FQ.to_device(xs), FQ.to_device(ys), FQ.to_device(zs))
+
+
+def g1_to_host(P: JacPoint):
+    """Batched Jacobian -> list of affine (x, y) ints or None (host math)."""
+    q = FQ.p
+    xs = FQ.to_host(P.x).reshape(-1)
+    ys = FQ.to_host(P.y).reshape(-1)
+    zs = FQ.to_host(P.z).reshape(-1)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+            continue
+        zinv = pow(int(z), q - 2, q)
+        zi2 = zinv * zinv % q
+        out.append((int(x) * zi2 % q, int(y) * zi2 * zinv % q))
+    return out
+
+
+def g2_from_host(points) -> JacPoint:
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append((1, 0))
+            ys.append((1, 0))
+            zs.append((0, 0))
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append((1, 0))
+    return JacPoint(
+        FQ2_OPS.to_device(xs), FQ2_OPS.to_device(ys), FQ2_OPS.to_device(zs)
+    )
+
+
+def g2_to_host(P: JacPoint):
+    from ..algebra import hostfield as H
+
+    xs = FQ2_OPS.to_host(P.x)
+    ys = FQ2_OPS.to_host(P.y)
+    zs = FQ2_OPS.to_host(P.z)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == (0, 0):
+            out.append(None)
+            continue
+        zinv = H.fq2_inv(z)
+        zi2 = H.fq2_mul(zinv, zinv)
+        out.append(
+            (H.fq2_mul(x, zi2), H.fq2_mul(y, H.fq2_mul(zi2, zinv)))
+        )
+    return out

@@ -1,0 +1,154 @@
+"""R1CS constraint system (the analog of the reference's `snark/relations`
+ConstraintSystem, ref snark/relations/src/r1cs/constraint_system.rs).
+
+The builder is host-side (matrices are public structure); the *assignment*
+is a device Fr limb array — possibly a secret SHARE per party, which is why
+the prover-side matrix-vector products below are formulated as batched
+gathers + local field ops only (linear algebra on shares is local; SURVEY.md
+§1 trick 1).
+
+Matrix encoding for the device matvec: each matrix row is padded to the max
+row weight; `idx` (rows, k) holds column indices (padding points at column 0
+with coefficient 0) and `coeff` (rows, k, L) holds Montgomery coefficients.
+The matvec is then one gather + one batched mul + log2(k) batched adds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra import bls12_377 as C
+from ..algebra import field as F
+from ..algebra.field import FR
+
+LC = List[Tuple[int, int]]  # linear combination: [(var_index, int_coeff)]
+
+
+class R1CS:
+    """Programmatic R1CS builder.  Variable 0 is the constant ONE.
+
+    Mirrors the semantics of ark-relations' ConstraintSystem: instance
+    variables first (starting with ONE), then witness variables; constraints
+    are (A z) * (B z) = (C z) rows.
+    """
+
+    def __init__(self):
+        self.num_instance = 1  # var 0 = ONE
+        self.num_witness = 0
+        self.a_rows: List[LC] = []
+        self.b_rows: List[LC] = []
+        self.c_rows: List[LC] = []
+
+    # -- building ----------------------------------------------------------
+    def new_instance(self) -> int:
+        assert self.num_witness == 0, "instance vars must precede witness vars"
+        self.num_instance += 1
+        return self.num_instance - 1
+
+    def new_witness(self) -> int:
+        self.num_witness += 1
+        return self.num_instance + self.num_witness - 1
+
+    def enforce(self, a: LC, b: LC, c: LC):
+        self.a_rows.append(list(a))
+        self.b_rows.append(list(b))
+        self.c_rows.append(list(c))
+
+    @property
+    def num_constraints(self) -> int:
+        return len(self.a_rows)
+
+    @property
+    def num_variables(self) -> int:
+        return self.num_instance + self.num_witness
+
+    # -- QAP-ready matrices ------------------------------------------------
+    def padded_rows(self):
+        """Rows extended with the input-consistency constraints arkworks
+        appends (one per instance variable: A=z_i, B=0, C=0), which make the
+        instance polynomials linearly independent
+        (ref: groth16/src/r1cs_to_qap.rs:141-162 inlining semantics)."""
+        a = [list(r) for r in self.a_rows] + [
+            [(i, 1)] for i in range(self.num_instance)
+        ]
+        b = [list(r) for r in self.b_rows] + [[] for _ in range(self.num_instance)]
+        c = [list(r) for r in self.c_rows] + [[] for _ in range(self.num_instance)]
+        return a, b, c
+
+    def device_matrices(self, domain_size: int):
+        """Pack padded rows into device gather matrices of `domain_size` rows."""
+        a, b, c = self.padded_rows()
+        assert len(a) <= domain_size
+        mats = []
+        for rows in (a, b, c):
+            k = max(1, max((len(r) for r in rows), default=1))
+            k = 1 << (k - 1).bit_length()
+            idx = np.zeros((domain_size, k), np.int32)
+            coeffs = [0] * (domain_size * k)
+            for r, row in enumerate(rows):
+                for j, (col, cf) in enumerate(row):
+                    idx[r, j] = col
+                    coeffs[r * k + j] = cf % C.R_MOD
+            Rint = 1 << (F.LIMB_BITS * FR.L)
+            mont = F.ints_to_limbs([v * Rint % C.R_MOD for v in coeffs], FR.L)
+            mats.append(
+                (jnp.asarray(idx), jnp.asarray(mont.reshape(domain_size, k, FR.L)))
+            )
+        return mats
+
+
+def sparse_matvec(mat, z):
+    """(idx, coeff) packed matrix  x  assignment z (m, L)  ->  (rows, L).
+
+    gather + batched mul + log2(k) adds; entirely local (share-safe)."""
+    idx, coeff = mat
+    vals = z[idx]                     # (rows, k, L)
+    prods = F.mul(FR, coeff, vals)    # batched
+    k = prods.shape[1]                # power of two by construction
+    while k > 1:
+        half = k // 2
+        prods = F.add(FR, prods[:, :half], prods[:, half:])
+        k = half
+    return prods[:, 0]
+
+
+def evaluate_lc(lc: LC, values: dict) -> int:
+    acc = 0
+    for var, cf in lc:
+        acc = (acc + cf * values[var]) % C.R_MOD
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# The benchmark circuit: repeated squaring (ref mpc-snarks/src/proof.rs:318-344)
+# ---------------------------------------------------------------------------
+
+def squaring_circuit(chain_length: int):
+    """x_{i+1} = x_i^2 for i < chain_length; x_0 witness, x_final public.
+
+    Returns (r1cs, assign) where assign(x0_int) -> (instance_ints,
+    witness_ints) host assignment values.
+    """
+    cs = R1CS()
+    y = cs.new_instance()  # public: final value
+    xs = [cs.new_witness() for _ in range(chain_length + 1)]
+    for i in range(chain_length):
+        cs.enforce([(xs[i], 1)], [(xs[i], 1)], [(xs[i + 1], 1)])
+    # final equality: x_last * 1 = y
+    cs.enforce([(xs[-1], 1)], [(0, 1)], [(y, 1)])
+
+    def assign(x0: int):
+        vals = [x0 % C.R_MOD]
+        for _ in range(chain_length):
+            vals.append(vals[-1] * vals[-1] % C.R_MOD)
+        instance = [1, vals[-1]]
+        witness = vals
+        return instance, witness
+
+    return cs, assign

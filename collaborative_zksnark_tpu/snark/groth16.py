@@ -1,0 +1,330 @@
+"""Groth16 zkSNARK: setup / prove / verify.
+
+TPU-native re-design of the reference's Groth16 path:
+  * setup mirrors ark-groth16's generator (ref groth16/src/generator.rs
+    semantics): toxic waste (alpha, beta, gamma, delta, tau) from a seeded
+    rng, QAP instance map via Lagrange evaluation at tau (host bigints),
+    key queries materialized on-device with fixed-base MSMs.
+  * the prover mirrors the reference's *specialized MPC-capable* prover
+    (ref mpc-snarks/src/groth/prover.rs:26-178 + groth/r1cs_to_qap.rs:46-113):
+    sparse matvec -> iFFT -> coset FFT -> pointwise product (through the
+    `hooks.mul_vec` seam, which is a local product for a single prover and a
+    batched Beaver product over shares in MPC, ref r1cs_to_qap.rs:92) ->
+    divide by the vanishing poly on the coset -> coset iFFT -> 4 MSMs +
+    linear assembly.  The zero-check on r is removed exactly as the
+    reference does for share-compatibility (groth/prover.rs:14-18).
+  * verification runs on the host pairing (small; the reference also
+    verifies locally on revealed proofs, ref mpc-snarks/src/proof.rs:141).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra import bls12_377 as C
+from ..algebra import field as F
+from ..algebra import hostfield as H
+from ..algebra.field import FR
+from ..ops import curve as cv
+from ..ops import msm as msm_mod
+from ..ops import ntt
+from ..relations.r1cs import R1CS, sparse_matvec
+
+P = C.R_MOD
+
+
+# ---------------------------------------------------------------------------
+# Keys & proof containers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ProvingKey:
+    # device points
+    a_query: cv.JacPoint      # G1, (m,)
+    b_g1_query: cv.JacPoint   # G1, (m,)
+    b_g2_query: cv.JacPoint   # G2, (m,)
+    h_query: cv.JacPoint      # G1, (n-1,)
+    l_query: cv.JacPoint      # G1, (num_witness,)
+    alpha_g1: cv.JacPoint     # scalar G1 points
+    beta_g1: cv.JacPoint
+    beta_g2: cv.JacPoint
+    delta_g1: cv.JacPoint
+    delta_g2: cv.JacPoint
+    vk: "VerifyingKey"
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    # host points (verification is host-side)
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    gamma_abc_g1: list  # per instance variable
+
+
+class Proof(NamedTuple):
+    a: cv.JacPoint   # G1 (scalar point)
+    b: cv.JacPoint   # G2
+    c: cv.JacPoint   # G1
+
+
+@dataclasses.dataclass
+class HostProof:
+    a: tuple
+    b: tuple
+    c: tuple
+
+
+def reveal_proof(proof: Proof) -> HostProof:
+    a = cv.g1_to_host(cv.JacPoint(proof.a.x[None], proof.a.y[None], proof.a.z[None]))[0]
+    b = cv.g2_to_host(cv.JacPoint(proof.b.x[None], proof.b.y[None], proof.b.z[None]))[0]
+    c = cv.g1_to_host(cv.JacPoint(proof.c.x[None], proof.c.y[None], proof.c.z[None]))[0]
+    return HostProof(a, b, c)
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+def _lagrange_coeffs_at(tau: int, n: int, omega: int) -> List[int]:
+    """L_r(tau) for the size-n radix-2 domain: Z(tau)/n * w^r / (tau - w^r),
+    with a host-side Montgomery batch inversion."""
+    z = (pow(tau, n, P) - 1) % P
+    zn = z * pow(n, P - 2, P) % P
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * omega % P
+    dens = [(tau - w) % P for w in pows]
+    # batch invert
+    prefix = [1] * (n + 1)
+    for i, d in enumerate(dens):
+        prefix[i + 1] = prefix[i] * d % P
+    inv_all = pow(prefix[n], P - 2, P)
+    invs = [0] * n
+    for i in range(n - 1, -1, -1):
+        invs[i] = prefix[i] * inv_all % P
+        inv_all = inv_all * dens[i] % P
+    return [zn * pows[r] % P * invs[r] % P for r in range(n)]
+
+
+def setup(cs: R1CS, seed: int = 0):
+    """Generate (ProvingKey, VerifyingKey).  Host bigint math for the QAP
+    instance map; device fixed-base MSMs for the key queries."""
+    rng = np.random.default_rng(seed)
+
+    def rand_fr():
+        return int.from_bytes(rng.bytes(40), "little") % P
+
+    alpha, beta, gamma, delta, tau = (rand_fr() for _ in range(5))
+    ginv = pow(gamma, P - 2, P)
+    dinv = pow(delta, P - 2, P)
+
+    a_rows, b_rows, c_rows = cs.padded_rows()
+    n_rows = len(a_rows)
+    domain = ntt.get_radix2_domain(n_rows)
+    n = domain.n
+    m = cs.num_variables
+
+    lag = _lagrange_coeffs_at(tau, n, domain.omega)
+
+    u = [0] * m  # A-polys at tau
+    v = [0] * m  # B-polys at tau
+    w = [0] * m  # C-polys at tau
+    for r, row in enumerate(a_rows):
+        for col, cf in row:
+            u[col] = (u[col] + cf * lag[r]) % P
+    for r, row in enumerate(b_rows):
+        for col, cf in row:
+            v[col] = (v[col] + cf * lag[r]) % P
+    for r, row in enumerate(c_rows):
+        for col, cf in row:
+            w[col] = (w[col] + cf * lag[r]) % P
+
+    zt = (pow(tau, n, P) - 1) % P
+
+    ninst = cs.num_instance
+    gamma_abc = [
+        (beta * u[i] + alpha * v[i] + w[i]) % P * ginv % P for i in range(ninst)
+    ]
+    l_scalars = [
+        (beta * u[i] + alpha * v[i] + w[i]) % P * dinv % P for i in range(ninst, m)
+    ]
+    h_scalars = [pow(tau, j, P) * zt % P * dinv % P for j in range(n - 1)]
+
+    fb_g1 = lambda scalars: msm_mod.fixed_base_msm(
+        cv.FQ_OPS, H.G1, H.G1_GEN, FR.to_device(scalars), c=8
+    )
+    fb_g2 = lambda scalars: msm_mod.fixed_base_msm(
+        cv.FQ2_OPS, H.G2, H.G2_GEN, FR.to_device(scalars), c=8
+    )
+
+    a_query = fb_g1(u)
+    b_g1_query = fb_g1(v)
+    b_g2_query = fb_g2(v)
+    h_query = fb_g1(h_scalars)
+    l_query = fb_g1(l_scalars) if l_scalars else cv.g1_from_host([])
+    singles_g1 = fb_g1([alpha, beta, delta])
+    singles_g2 = fb_g2([beta, delta, gamma])
+
+    def pick(pts, i):
+        return cv.JacPoint(pts.x[i], pts.y[i], pts.z[i])
+
+    vk = VerifyingKey(
+        alpha_g1=H.G1.scalar_mul(H.G1_GEN, alpha),
+        beta_g2=H.G2.scalar_mul(H.G2_GEN, beta),
+        gamma_g2=H.G2.scalar_mul(H.G2_GEN, gamma),
+        delta_g2=H.G2.scalar_mul(H.G2_GEN, delta),
+        gamma_abc_g1=[H.G1.scalar_mul(H.G1_GEN, s) for s in gamma_abc],
+    )
+    pk = ProvingKey(
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+        alpha_g1=pick(singles_g1, 0),
+        beta_g1=pick(singles_g1, 1),
+        beta_g2=pick(singles_g2, 0),
+        delta_g1=pick(singles_g1, 2),
+        delta_g2=pick(singles_g2, 1),
+        vk=vk,
+    )
+    return pk, vk
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+class LocalHooks:
+    """MPC hook seam (SURVEY.md §7 item 7).  For a single prover every hook
+    is a local operation; the MPC layer substitutes Beaver-batched variants
+    (ref wire/field.rs:358-497)."""
+
+    def mul_vec(self, x, y):
+        """Elementwise product of two Fr vectors (the batch_product hook,
+        ref algebra/ff/src/fields/mod.rs:216-220)."""
+        return F.mul(FR, x, y)
+
+
+LOCAL_HOOKS = LocalHooks()
+
+
+def witness_map(cs: R1CS, z, hooks=LOCAL_HOOKS):
+    """R1CS assignment -> h(X) coefficients (the QAP witness map).
+    Mirrors ref groth/r1cs_to_qap.rs:46-113: matvec, iFFT, coset FFT,
+    pointwise product (hook), vanishing divide on coset, coset iFFT."""
+    a_rows, _, _ = cs.padded_rows()
+    domain = ntt.get_radix2_domain(len(a_rows))
+    mats = cs.device_matrices(domain.n)
+    a_ev = sparse_matvec(mats[0], z)
+    b_ev = sparse_matvec(mats[1], z)
+    c_ev = sparse_matvec(mats[2], z)
+
+    a_poly = domain.ifft(a_ev)
+    b_poly = domain.ifft(b_ev)
+    c_poly = domain.ifft(c_ev)
+    a_cos = domain.coset_fft(a_poly)
+    b_cos = domain.coset_fft(b_poly)
+    c_cos = domain.coset_fft(c_poly)
+
+    ab = hooks.mul_vec(a_cos, b_cos)          # [NETWORK in MPC: 1 Beaver round]
+    num = F.sub(FR, ab, c_cos)
+    zinv = domain.vanishing_on_coset_inv()
+    h_cos = F.mul(FR, num, zinv[None])
+    h = domain.coset_ifft(h_cos)
+    return h[: domain.n - 1]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_mul_kernel(fld):
+    def f(Ppt: cv.JacPoint, k_mont):
+        sc = F.from_mont(FR, k_mont[None])[0]
+        zero = msm_mod._scalar_zero_point(
+            fld, cv.JacPoint(Ppt.x[None], Ppt.y[None], Ppt.z[None])
+        )
+
+        def body(i, acc):
+            acc = cv.point_double(fld, acc)
+            t = msm_mod.FR_BITS - 1 - i
+            limb = jax.lax.dynamic_index_in_dim(sc, t // F.LIMB_BITS, keepdims=False)
+            bit = (limb >> (t % F.LIMB_BITS).astype(jnp.uint32)) & 1
+            cand = cv.point_add(fld, acc, Ppt)
+            return cv.point_select(fld, bit == 1, cand, acc)
+
+        return jax.lax.fori_loop(0, msm_mod.FR_BITS, body, zero)
+
+    return jax.jit(f)
+
+
+def _scalar_mul_point(fld, Ppt: cv.JacPoint, k_mont):
+    """k * P for one device scalar (Montgomery form, shape (L,)) and one
+    scalar point: 253-step double-and-add fori (jitted once per field)."""
+    return _scalar_mul_kernel(fld)(Ppt, k_mont)
+
+
+def prove(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont, hooks=LOCAL_HOOKS) -> Proof:
+    """z: full assignment (m, L) device Fr (values or shares); r_mont/s_mont:
+    blinding scalars (L,) (shared randomness in MPC — no zero-check, ref
+    groth/prover.rs:116 removal)."""
+    h = witness_map(cs, z, hooks)
+
+    ninst = cs.num_instance
+    wit = z[ninst:]
+
+    h_acc = msm_mod.msm(cv.FQ_OPS, pk.h_query, h)
+    l_acc = msm_mod.msm(cv.FQ_OPS, pk.l_query, wit)
+    a_acc = msm_mod.msm(cv.FQ_OPS, pk.a_query, z)
+    b1_acc = msm_mod.msm(cv.FQ_OPS, pk.b_g1_query, z)
+    b2_acc = msm_mod.msm(cv.FQ2_OPS, pk.b_g2_query, z)
+
+    r_delta_g1 = _scalar_mul_point(cv.FQ_OPS, pk.delta_g1, r_mont)
+    s_delta_g1 = _scalar_mul_point(cv.FQ_OPS, pk.delta_g1, s_mont)
+    s_delta_g2 = _scalar_mul_point(cv.FQ2_OPS, pk.delta_g2, s_mont)
+
+    g_a = cv.point_add(cv.FQ_OPS, cv.point_add(cv.FQ_OPS, pk.alpha_g1, a_acc), r_delta_g1)
+    g1_b = cv.point_add(cv.FQ_OPS, cv.point_add(cv.FQ_OPS, pk.beta_g1, b1_acc), s_delta_g1)
+    g2_b = cv.point_add(cv.FQ2_OPS, cv.point_add(cv.FQ2_OPS, pk.beta_g2, b2_acc), s_delta_g2)
+
+    # g_c = s*g_a + r*g1_b - r*s*delta + l_acc + h_acc
+    s_ga = _scalar_mul_point(cv.FQ_OPS, g_a, s_mont)
+    r_gb = _scalar_mul_point(cv.FQ_OPS, g1_b, r_mont)
+    rs = F.mul(FR, r_mont[None], s_mont[None])[0]
+    rs_delta = _scalar_mul_point(cv.FQ_OPS, pk.delta_g1, rs)
+    g_c = cv.point_add(cv.FQ_OPS, s_ga, r_gb)
+    g_c = cv.point_add(cv.FQ_OPS, g_c, cv.point_neg(cv.FQ_OPS, rs_delta))
+    g_c = cv.point_add(cv.FQ_OPS, g_c, l_acc)
+    g_c = cv.point_add(cv.FQ_OPS, g_c, h_acc)
+
+    return Proof(a=g_a, b=g2_b, c=g_c)
+
+
+# ---------------------------------------------------------------------------
+# Verifier (host)
+# ---------------------------------------------------------------------------
+
+def verify(vk: VerifyingKey, proof: HostProof, public_inputs: List[int]) -> bool:
+    """e(A,B) == e(alpha,beta) * e(sum x_i gammaABC_i, gamma) * e(C, delta).
+    public_inputs excludes the leading ONE."""
+    xs = [1] + [x % P for x in public_inputs]
+    assert len(xs) == len(vk.gamma_abc_g1)
+    acc = None
+    for x, pt in zip(xs, vk.gamma_abc_g1):
+        acc = H.G1.add(acc, H.G1.scalar_mul(pt, x))
+    lhs = H.pairing(proof.a, proof.b)
+    rhs = H.fq12_mul(
+        H.pairing(vk.alpha_g1, vk.beta_g2),
+        H.fq12_mul(
+            H.pairing(acc, vk.gamma_g2), H.pairing(proof.c, vk.delta_g2)
+        ),
+    )
+    return lhs == rhs
