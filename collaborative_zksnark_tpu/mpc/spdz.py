@@ -1,0 +1,192 @@
+"""SPDZ-style shares: additive share + additive MAC share per value,
+malicious-majority security (ref: share/spdz.rs).
+
+Every value x carries (sh, mac) with sum(sh_i) = x and sum(mac_i) = alpha*x
+for a global MAC key alpha.  As in the reference, alpha is STUBBED: the king
+holds alpha = 1 (ref spdz.rs:30-37 "The MAC key is 1... should be changed");
+the check structure and traffic are faithful, the secrecy of the key is not
+(benchmarking stance, Readme.md:5).
+
+Reveal first opens x, then runs the commit-then-open MAC check: each party
+broadcasts d_i = alpha_i * x - mac_i via atomic broadcast and verifies
+sum(d_i) == 0 ("Pragmatic MPC" 6.6.2; ref spdz.rs:119-131).  Failures are
+queued on the context and raised host-side (abort-on-cheat).
+
+Linear ops act on (sh, mac) componentwise (ref spdz.rs:186-208); `shift` adds
+c to the king's share and alpha_i*c to every mac (ref spdz.rs:196-200).
+Group shares carry point MACs with the same structure (ref spdz.rs:259-447).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..algebra import field as F
+from ..algebra.field import FR
+from ..ops import curve as cv
+from . import beaver
+from .additive import AdditiveScheme, _fold_field, _fold_points
+from .context import MpcContext
+
+
+class SpdzShare(NamedTuple):
+    sh: jnp.ndarray
+    mac: jnp.ndarray
+
+
+class SpdzGroupShare(NamedTuple):
+    pt: cv.JacPoint
+    mac: cv.JacPoint
+
+
+class SpdzScheme:
+    name = "spdz"
+
+    def __init__(self, ctx: MpcContext):
+        self.ctx = ctx
+        self.net = ctx.net
+        self.base = AdditiveScheme(ctx)  # plain-additive machinery
+        self.field_source = beaver.DummyFieldTripleSource(self)
+        self.group_source = beaver.DummyGroupTripleSource(self)
+
+    # alpha_i: king holds 1 (stub) — identical structure to from_public(1)
+    def _alpha_times(self, pub):
+        """alpha_i * pub for each party (local)."""
+        stacked = self.net.stack_public(pub)
+        return self.net.where_king(stacked, jnp.zeros_like(stacked))
+
+    def ones_public(self, shape):
+        return self.base.ones_public(shape)
+
+    # ---------------- construction ----------------
+    def from_public(self, pub):
+        return SpdzShare(self.base.from_public(pub), self._alpha_times(pub))
+
+    def king_share(self, pub):
+        """King splits x and the MAC alpha*x into random additive shares
+        (ref spdz.rs:150-162; requires the cheat flag in the reference —
+        here the king legitimately knows both x and alpha)."""
+        return SpdzShare(self.base.king_share(pub), self.base.king_share(pub))
+
+    # ---------------- open + MAC check ----------------
+    def reveal(self, x: SpdzShare):
+        val = self.base.reveal(x.sh)
+        # MAC check: d_i = alpha_i * val - mac_i ; atomic broadcast; sum == 0
+        d = F.sub(FR, self._alpha_times(val), x.mac)
+        g = self.net.atomic_gather(d)
+        total = _fold_field(g)
+        self.ctx.push_check("spdz_mac", F.is_zero(FR, total))
+        return val
+
+    # ---------------- linear ----------------
+    def add(self, a: SpdzShare, b: SpdzShare):
+        return SpdzShare(F.add(FR, a.sh, b.sh), F.add(FR, a.mac, b.mac))
+
+    def sub(self, a: SpdzShare, b: SpdzShare):
+        return SpdzShare(F.sub(FR, a.sh, b.sh), F.sub(FR, a.mac, b.mac))
+
+    def neg(self, a: SpdzShare):
+        return SpdzShare(F.neg(FR, a.sh), F.neg(FR, a.mac))
+
+    def scale(self, a: SpdzShare, pub):
+        return SpdzShare(F.mul(FR, a.sh, pub), F.mul(FR, a.mac, pub))
+
+    def shift(self, a: SpdzShare, pub):
+        return SpdzShare(
+            self.base.shift(a.sh, pub), F.add(FR, a.mac, self._alpha_times(pub))
+        )
+
+    # ---------------- nonlinear (Beaver over SPDZ shares) ----------------
+    def _pub_shape(self, x: SpdzShare):
+        return self.base._pub_shape(x.sh)
+
+    def mul(self, x: SpdzShare, y: SpdzShare):
+        a, b, c = self.field_source.triple(self._pub_shape(x))
+        de = self.reveal(
+            SpdzShare(
+                jnp.stack([self.sub(x, a).sh, self.sub(y, b).sh], axis=-2),
+                jnp.stack([self.sub(x, a).mac, self.sub(y, b).mac], axis=-2),
+            )
+        )
+        d = de[..., 0, :]
+        e = de[..., 1, :]
+        z = self.add(c, self.add(self.scale(a, e), self.scale(b, d)))
+        return self.shift(z, F.mul(FR, d, e))
+
+    def inv(self, x: SpdzShare):
+        r, rinv = self.field_source.inv_pair(self._pub_shape(x))
+        m = self.reveal(self.mul(x, r))
+        minv = F.batch_inv(FR, m) if m.ndim > 1 else F.inv(FR, m)
+        return self.scale(rinv, minv)
+
+    def div(self, x, y):
+        return self.mul(x, self.inv(y))
+
+    def partial_products(self, xs: SpdzShare):
+        npts = self._pub_shape(xs)[0]
+        r, s = self.field_source.inv_pair((npts + 1,))
+        r_lead = SpdzShare(r.sh[..., :npts, :], r.mac[..., :npts, :])
+        s_next = SpdzShare(s.sh[..., 1:, :], s.mac[..., 1:, :])
+        m = self.reveal(self.mul(self.mul(xs, r_lead), s_next))
+        pref = jax.lax.associative_scan(lambda a, b: F.mul(FR, a, b), m, axis=0)
+        r_next = SpdzShare(r.sh[..., 1:, :], r.mac[..., 1:, :])
+        return self.scale(r_next, pref)
+
+    # ---------------- group shares (point + point MAC) ----------------
+    def g_zero(self, fld):
+        return SpdzGroupShare(self.base.g_zero(fld), self.base.g_zero(fld))
+
+    def g_from_public(self, fld, P_pub: cv.JacPoint):
+        # mac share of alpha*P: king holds P (alpha = 1 stub)
+        return SpdzGroupShare(
+            self.base.g_from_public(fld, P_pub),
+            self.base.g_from_public(fld, P_pub),
+        )
+
+    def g_reveal(self, fld, x: SpdzGroupShare) -> cv.JacPoint:
+        val = self.base.g_reveal(fld, x.pt)
+        # MAC check on the opened point: alpha_i*val - mac_i sums to identity
+        alpha_val = self.base.g_from_public(fld, val)
+        d = cv.point_add(fld, alpha_val, cv.point_neg(fld, x.mac))
+        gx = self.net.atomic_gather(d.x)
+        gy = self.net.atomic_gather(d.y)
+        gz = self.net.atomic_gather(d.z)
+        tot = _fold_points(fld, cv.JacPoint(gx, gy, gz))
+        self.ctx.push_check("spdz_group_mac", fld.is_zero(tot.z))
+        return val
+
+    def g_add(self, fld, a: SpdzGroupShare, b: SpdzGroupShare):
+        return SpdzGroupShare(
+            cv.point_add(fld, a.pt, b.pt), cv.point_add(fld, a.mac, b.mac)
+        )
+
+    def g_neg(self, fld, a: SpdzGroupShare):
+        return SpdzGroupShare(cv.point_neg(fld, a.pt), cv.point_neg(fld, a.mac))
+
+    def g_shift(self, fld, a: SpdzGroupShare, P_pub: cv.JacPoint):
+        mac_shift = self.base.g_from_public(fld, P_pub)  # alpha_i * P
+        return SpdzGroupShare(
+            self.base.g_shift(fld, a.pt, P_pub),
+            cv.point_add(fld, a.mac, mac_shift),
+        )
+
+    def g_scale_shared(self, fld, P_sh: SpdzGroupShare, k_sh: SpdzShare):
+        a, B, Cp = self.group_source.triple(fld)
+        d = self.reveal(self.sub(k_sh, a))
+        E = self.g_reveal(fld, self.g_sub(fld, P_sh, B))
+        dB = SpdzGroupShare(
+            self.base._g_scale_public_scalar(fld, B.pt, d),
+            self.base._g_scale_public_scalar(fld, B.mac, d),
+        )
+        aE_pt = self.base._g_scale_share_scalar_public_point(fld, E, a.sh)
+        aE_mac = self.base._g_scale_share_scalar_public_point(fld, E, a.mac)
+        aE = SpdzGroupShare(aE_pt, aE_mac)
+        dE_pub = self.base._scalar_mul_pub(fld, E, d)
+        z = self.g_add(fld, Cp, self.g_add(fld, dB, aE))
+        return self.g_shift(fld, z, dE_pub)
+
+    def g_sub(self, fld, a: SpdzGroupShare, b: SpdzGroupShare):
+        return self.g_add(fld, a, self.g_neg(fld, b))

@@ -314,6 +314,34 @@ def tree_reduce(fld, P: JacPoint) -> JacPoint:
 # Host <-> device conversions
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _scale_const_kernel(fld):
+    """Batched point x single Montgomery scalar -> batched scaled points
+    (double-and-add over 253 bits; one traced double+add site)."""
+    from ..algebra.field import FR
+
+    def f(P: JacPoint, k_mont):
+        sc = F.from_mont(FR, k_mont[None])[0]
+        acc = zero_point(fld, P)
+        nbits = 253
+
+        def body(i, acc):
+            acc = point_double(fld, acc)
+            t = nbits - 1 - i
+            limb = jax.lax.dynamic_index_in_dim(sc, t // F.LIMB_BITS, keepdims=False)
+            bit = (limb >> (t % F.LIMB_BITS).astype(jnp.uint32)) & 1
+            cand = point_add(fld, acc, P)
+            return point_select(fld, bit == 1, cand, acc)
+
+        return jax.lax.fori_loop(0, nbits, body, acc)
+
+    return jax.jit(f)
+
+
+def point_scale_const(fld, P: JacPoint, k_mont):
+    return _scale_const_kernel(fld)(P, k_mont)
+
+
 def g1_from_host(points) -> JacPoint:
     """List of affine (x, y) int pairs or None -> batched Jacobian point."""
     xs, ys, zs = [], [], []

@@ -103,21 +103,25 @@ class Radix2Domain:
 
     # -- core transforms ---------------------------------------------------
     def _butterflies(self, x, tws):
+        """x: (n, ..., L) — transforms along axis 0, batching over the rest."""
         spec = self.spec
         n = self.n
+        rest = x.shape[1:]
+        extra = len(rest) - 1  # batch dims between n and L
         for s in range(1, self.log_n + 1):
             m = 1 << s
             h = m >> 1
-            xb = x.reshape((n // m, m, spec.L))
+            xb = x.reshape((n // m, m) + rest)
             lo = xb[:, :h]
-            hi = F.mul(spec, xb[:, h:], tws[s - 1][None])
+            tw = tws[s - 1].reshape((1, h) + (1,) * extra + (spec.L,))
+            hi = F.mul(spec, xb[:, h:], tw)
             x = jnp.concatenate(
                 [F.add(spec, lo, hi), F.sub(spec, lo, hi)], axis=1
-            ).reshape((n, spec.L))
+            ).reshape((n,) + rest)
         return x
 
     def fft(self, coeffs):
-        """coefficients (n, L) -> evaluations (n, L), natural order."""
+        """coefficients (n, ..., L) -> evaluations (n, ..., L), natural order."""
         x = jnp.take(coeffs, self._perm, axis=0)
         return self._butterflies(x, self._tw_fwd)
 
@@ -139,12 +143,19 @@ class Radix2Domain:
             _to_mont_limbs(self.spec, _pow_table(ginv, self.n, self.spec.p))
         )
 
+    def _coset_reshape(self, tbl, like):
+        extra = like.ndim - 2
+        return tbl.reshape((self.n,) + (1,) * extra + (self.spec.L,))
+
     def coset_fft(self, coeffs):
         """Evaluations over the coset g*H (ref: distribute_powers + fft)."""
-        return self.fft(F.mul(self.spec, coeffs, self._coset_g))
+        return self.fft(
+            F.mul(self.spec, coeffs, self._coset_reshape(self._coset_g, coeffs))
+        )
 
     def coset_ifft(self, evals):
-        return F.mul(self.spec, self.ifft(evals), self._coset_g_inv)
+        out = self.ifft(evals)
+        return F.mul(self.spec, out, self._coset_reshape(self._coset_g_inv, out))
 
     def vanishing_on_coset_inv(self):
         """1 / Z_H(g x) for x in H: Z_H(g w^i) = g^n - 1, a scalar

@@ -1,0 +1,191 @@
+"""Party networking layer — the TPU-native analog of the reference's
+`mpc-net` crate (ref: mpc-net/src/lib.rs:28-70 `MpcNet` trait; multi.rs
+full-mesh broadcast + king star ops; Stats at lib.rs:7-26).
+
+Instead of blocking TCP sockets, parties are SPMD program instances:
+
+  * `StackedNet` — N *logical* parties inside one process; every share
+    carries a leading party axis P.  Collectives are axis-0 array ops.  This
+    is the unit-test backend (the analog of the reference's N processes on
+    localhost, SURVEY.md §4.4) and is bit-identical to the mesh backend.
+  * `MeshNet`  — parties mapped to an axis of a `jax.sharding.Mesh`;
+    protocol code runs inside `shard_map` and collectives lower to XLA
+    all_gathers over ICI/DCN.
+
+Protocol code is written once against this API:
+  * shares are arrays whose leading party axis exists only in StackedNet;
+    in MeshNet each program instance holds its slice.
+  * "public" values carry no party axis (StackedNet) / are replicated
+    (MeshNet) — identical code paths.
+  * `party_iota()` broadcasts the party index for king-conditional logic
+    (the reference's `am_king()`, lib.rs:49).
+
+Traffic accounting mirrors the reference's `Stats` (bytes are computed from
+static shapes at trace time — one entry per collective call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Stats:
+    """Per-party traffic counters (ref mpc-net/src/lib.rs:7-26)."""
+
+    bytes_sent: int = 0
+    bytes_recv: int = 0
+    broadcasts: int = 0
+    to_king: int = 0
+    from_king: int = 0
+
+    def reset(self):
+        self.bytes_sent = 0
+        self.bytes_recv = 0
+        self.broadcasts = 0
+        self.to_king = 0
+        self.from_king = 0
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def _nbytes(x) -> int:
+    return int(np.prod(x.shape)) * x.dtype.itemsize
+
+
+class StackedNet:
+    """N logical parties; shares have leading axis P, public values none."""
+
+    def __init__(self, n_parties: int):
+        self.n = n_parties
+        self.stats = Stats()
+
+    # -- identity ----------------------------------------------------------
+    def n_parties(self) -> int:
+        return self.n
+
+    def party_iota(self, extra_dims: int = 0):
+        """Party index, broadcastable against a share: shape (P, 1...)."""
+        return jnp.arange(self.n, dtype=jnp.uint32).reshape(
+            (self.n,) + (1,) * extra_dims
+        )
+
+    def is_king(self, extra_dims: int = 0):
+        return self.party_iota(extra_dims) == 0
+
+    # -- collectives -------------------------------------------------------
+    def all_gather(self, sh):
+        """Full-mesh broadcast (ref multi.rs:145-174): every party learns
+        every share.  Stacked: the stack IS the gather; returns (P, ...)."""
+        self.stats.broadcasts += 1
+        per_party = _nbytes(sh) // self.n
+        self.stats.bytes_sent += per_party * (self.n - 1)
+        self.stats.bytes_recv += per_party * (self.n - 1)
+        return sh
+
+    def atomic_gather(self, sh):
+        """Commit-then-open broadcast (ref channel.rs:50-75): same data
+        movement plus a 32-byte commitment round per party."""
+        self.stats.broadcasts += 2
+        per_party = _nbytes(sh) // self.n + 32
+        self.stats.bytes_sent += per_party * (self.n - 1)
+        self.stats.bytes_recv += per_party * (self.n - 1)
+        return sh
+
+    def gather_to_king(self, sh):
+        """Star gather (ref multi.rs:175-216 send_to_king): king obtains the
+        full (P, ...) stack; other parties obtain nothing (stacked sim:
+        the value is simply available to the king computation)."""
+        self.stats.to_king += 1
+        per_party = _nbytes(sh) // self.n
+        self.stats.bytes_sent += per_party          # non-king parties send
+        self.stats.bytes_recv += per_party * (self.n - 1)  # king receives
+        return sh
+
+    def scatter_from_king(self, full):
+        """Star scatter (ref multi.rs:217-242 recv_from_king): king sends
+        row i of `full` (P, ...) to party i."""
+        self.stats.from_king += 1
+        per_party = _nbytes(full) // self.n
+        self.stats.bytes_sent += per_party * (self.n - 1)
+        self.stats.bytes_recv += per_party
+        return full
+
+    # -- share plumbing ----------------------------------------------------
+    def stack_public(self, pub):
+        """Replicate a public value into a per-party array (no comms)."""
+        return jnp.broadcast_to(pub[None], (self.n,) + pub.shape)
+
+    def where_king(self, value, other):
+        """Select `value` on party 0, `other` elsewhere (no comms)."""
+        extra = value.ndim - 1 if hasattr(value, "ndim") else 0
+        mask = self.is_king(extra)
+        return jnp.where(mask, value, other)
+
+
+class MeshNet:
+    """Parties = one axis of a jax Mesh; use inside shard_map only.
+
+    Shares here are the per-party local slices (no party axis); collectives
+    are jax.lax collectives over `axis_name`, riding ICI/DCN.
+    """
+
+    def __init__(self, n_parties: int, axis_name: str = "party"):
+        self.n = n_parties
+        self.axis = axis_name
+        self.stats = Stats()
+
+    def n_parties(self) -> int:
+        return self.n
+
+    def party_iota(self, extra_dims: int = 0):
+        idx = jax.lax.axis_index(self.axis).astype(jnp.uint32)
+        return idx.reshape((1,) * max(extra_dims, 0)) if extra_dims else idx
+
+    def is_king(self, extra_dims: int = 0):
+        return self.party_iota(extra_dims) == 0
+
+    def all_gather(self, sh):
+        self.stats.broadcasts += 1
+        b = _nbytes(sh)
+        self.stats.bytes_sent += b * (self.n - 1)
+        self.stats.bytes_recv += b * (self.n - 1)
+        return jax.lax.all_gather(sh, self.axis, axis=0)
+
+    def atomic_gather(self, sh):
+        self.stats.broadcasts += 2
+        b = _nbytes(sh) + 32
+        self.stats.bytes_sent += b * (self.n - 1)
+        self.stats.bytes_recv += b * (self.n - 1)
+        return jax.lax.all_gather(sh, self.axis, axis=0)
+
+    def gather_to_king(self, sh):
+        # SPMD: realized as an all_gather (every instance computes the king
+        # step redundantly — no divergent control flow on TPU); accounted as
+        # the star pattern.
+        self.stats.to_king += 1
+        b = _nbytes(sh)
+        self.stats.bytes_sent += b
+        self.stats.bytes_recv += b * (self.n - 1)
+        return jax.lax.all_gather(sh, self.axis, axis=0)
+
+    def scatter_from_king(self, full):
+        self.stats.from_king += 1
+        b = _nbytes(full) // self.n
+        self.stats.bytes_sent += b * (self.n - 1)
+        self.stats.bytes_recv += b
+        idx = jax.lax.axis_index(self.axis)
+        return jax.lax.dynamic_index_in_dim(full, idx, axis=0, keepdims=False)
+
+    def stack_public(self, pub):
+        return pub  # replicated by construction
+
+    def where_king(self, value, other):
+        extra = value.ndim if hasattr(value, "ndim") else 0
+        mask = self.is_king(0)
+        return jnp.where(mask, value, other)
