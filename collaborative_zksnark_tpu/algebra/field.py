@@ -404,6 +404,24 @@ def batch_inv(spec: FieldSpec, a):
     return select(zmask, jnp.zeros_like(a), out)
 
 
+def fold_sum(spec: FieldSpec, arr, axis: int = -2):
+    """Field-sum along `axis` by pairwise halving (log2 N batched adds)."""
+    arr = jnp.moveaxis(arr, axis, 0)
+    n = arr.shape[0]
+    m = 1
+    while m < n:
+        m <<= 1
+    if m != n:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros((m - n,) + arr.shape[1:], arr.dtype)], axis=0
+        )
+    while m > 1:
+        half = m // 2
+        arr = add(spec, arr[:half], arr[half:])
+        m = half
+    return arr[0]
+
+
 def to_mont(spec: FieldSpec, a_std):
     return mul(spec, a_std, jnp.asarray(spec.r2_limbs))
 

@@ -166,6 +166,39 @@ class AdditiveScheme:
         # unmask: P_k = pref_k * r_{k+1}  (r_0 == 1 by construction)
         return self.scale(r[..., 1:, :], pref)
 
+    # ---------------- wire-layer helpers ----------------
+    def lin_map(self, fn, sh):
+        """Apply a LOCAL linear array function to a share (the reason FFTs
+        and matvecs are communication-free on shares, SURVEY.md §1 trick 1)."""
+        return fn(sh)
+
+    def g_msm(self, fld, query: cv.JacPoint, scalars_sh):
+        """MSM of public bases by shared scalars: local per-party Pippenger
+        on the scalar shares (ref wire/pairing.rs:746-800)."""
+        from ..ops import msm as msm_mod
+
+        if self._has_party_axis():
+            n = self.net.n_parties()
+            outs = [msm_mod.msm(fld, query, scalars_sh[i]) for i in range(n)]
+            return cv.JacPoint(
+                jnp.stack([o.x for o in outs]),
+                jnp.stack([o.y for o in outs]),
+                jnp.stack([o.z for o in outs]),
+            )
+        return msm_mod.msm(fld, query, scalars_sh)
+
+    def g_from_scalar_mul(self, fld, P_pub: cv.JacPoint, k_sh):
+        """public point x shared scalar -> shared point (local per party)."""
+        if self._has_party_axis():
+            n = self.net.n_parties()
+            outs = [cv.point_scale_const(fld, P_pub, k_sh[i]) for i in range(n)]
+            return cv.JacPoint(
+                jnp.stack([o.x for o in outs]),
+                jnp.stack([o.y for o in outs]),
+                jnp.stack([o.z for o in outs]),
+            )
+        return cv.point_scale_const(fld, P_pub, k_sh)
+
     # ---------------- group shares ----------------
     @staticmethod
     def _identity_point(fld) -> cv.JacPoint:

@@ -226,6 +226,34 @@ class GszScheme:
         self.ctx.push_check("gsz_product_check_degree", deg_ok)
         self.ctx.push_check("gsz_product_check_zero", F.is_zero(FR, val))
 
+    # ---------------- wire-layer helpers ----------------
+    def lin_map(self, fn, sh):
+        return fn(sh)
+
+    def g_msm(self, fld, query: cv.JacPoint, scalars_sh):
+        from ..ops import msm as msm_mod
+
+        if self._stacked():
+            n = self.net.n_parties()
+            outs = [msm_mod.msm(fld, query, scalars_sh[i]) for i in range(n)]
+            return cv.JacPoint(
+                jnp.stack([o.x for o in outs]),
+                jnp.stack([o.y for o in outs]),
+                jnp.stack([o.z for o in outs]),
+            )
+        return msm_mod.msm(fld, query, scalars_sh)
+
+    def g_from_scalar_mul(self, fld, P_pub: cv.JacPoint, k_sh):
+        if self._stacked():
+            n = self.net.n_parties()
+            outs = [cv.point_scale_const(fld, P_pub, k_sh[i]) for i in range(n)]
+            return cv.JacPoint(
+                jnp.stack([o.x for o in outs]),
+                jnp.stack([o.y for o in outs]),
+                jnp.stack([o.z for o in outs]),
+            )
+        return cv.point_scale_const(fld, P_pub, k_sh)
+
     # ---------------- group shares ----------------
     def g_zero(self, fld):
         from .additive import AdditiveScheme

@@ -135,6 +135,22 @@ class SpdzScheme:
         r_next = SpdzShare(r.sh[..., 1:, :], r.mac[..., 1:, :])
         return self.scale(r_next, pref)
 
+    # ---------------- wire-layer helpers ----------------
+    def lin_map(self, fn, sh: SpdzShare):
+        return SpdzShare(fn(sh.sh), fn(sh.mac))
+
+    def g_msm(self, fld, query: cv.JacPoint, scalars_sh: SpdzShare):
+        return SpdzGroupShare(
+            self.base.g_msm(fld, query, scalars_sh.sh),
+            self.base.g_msm(fld, query, scalars_sh.mac),
+        )
+
+    def g_from_scalar_mul(self, fld, P_pub: cv.JacPoint, k_sh: SpdzShare):
+        return SpdzGroupShare(
+            self.base.g_from_scalar_mul(fld, P_pub, k_sh.sh),
+            self.base.g_from_scalar_mul(fld, P_pub, k_sh.mac),
+        )
+
     # ---------------- group shares (point + point MAC) ----------------
     def g_zero(self, fld):
         return SpdzGroupShare(self.base.g_zero(fld), self.base.g_zero(fld))

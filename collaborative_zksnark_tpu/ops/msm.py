@@ -216,11 +216,34 @@ def _combine_kernel(fld, c):
     return jax.jit(f)
 
 
+def _pad_pow2(fld, points: JacPoint, scalars_mont):
+    """Pad to the next power of two with identity points / zero scalars so
+    different problem sizes share one compiled kernel."""
+    n = points.x.shape[0]
+    m = 1 << max(0, (n - 1).bit_length())
+    if m == n:
+        return points, scalars_mont
+    padp = lambda a: jnp.concatenate(
+        [a, jnp.zeros((m - n,) + a.shape[1:], a.dtype)], axis=0
+    )
+    return (
+        JacPoint(padp(points.x), padp(points.y), padp(points.z)),
+        padp(scalars_mont),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bitserial_kernel(fld):
+    return jax.jit(lambda p, s: msm_bitserial(fld, p, s))
+
+
 def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
-    """Dispatcher: Pippenger with a size-tuned window, bit-serial for tiny N."""
+    """Dispatcher: Pippenger with a size-tuned window, bit-serial for tiny N.
+    Inputs are padded to a power of two for compile-cache reuse."""
+    points, scalars_mont = _pad_pow2(fld, points, scalars_mont)
     n = points.x.shape[0]
     if n <= 16:
-        return jax.jit(lambda p, s: msm_bitserial(fld, p, s))(points, scalars_mont)
+        return _bitserial_kernel(fld)(points, scalars_mont)
     if c is None:
         c = 8 if n >= (1 << 12) else 4
     return msm_pippenger(fld, points, scalars_mont, c=c)

@@ -106,16 +106,17 @@ class R1CS:
 def sparse_matvec(mat, z):
     """(idx, coeff) packed matrix  x  assignment z (m, L)  ->  (rows, L).
 
-    gather + batched mul + log2(k) adds; entirely local (share-safe)."""
+    gather + batched mul + log2(k) adds; entirely local (share-safe).
+    Batch-agnostic: z may carry leading axes (e.g. a party axis)."""
     idx, coeff = mat
-    vals = z[idx]                     # (rows, k, L)
+    vals = z[..., idx, :]             # (..., rows, k, L)
     prods = F.mul(FR, coeff, vals)    # batched
-    k = prods.shape[1]                # power of two by construction
+    k = prods.shape[-2]               # power of two by construction
     while k > 1:
         half = k // 2
-        prods = F.add(FR, prods[:, :half], prods[:, half:])
+        prods = F.add(FR, prods[..., :half, :], prods[..., half:, :])
         k = half
-    return prods[:, 0]
+    return prods[..., 0, :]
 
 
 def evaluate_lc(lc: LC, values: dict) -> int:

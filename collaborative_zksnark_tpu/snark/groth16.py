@@ -309,6 +309,93 @@ def prove(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont, hooks=LOCAL_HOOKS) -> Pro
 
 
 # ---------------------------------------------------------------------------
+# MPC prover: the same pipeline over secret-shared assignments
+# (ref flow: mpc-snarks/src/proof.rs:112-143 + groth/prover.rs over
+#  MpcPairingEngine shares; SURVEY.md §3.1)
+# ---------------------------------------------------------------------------
+
+def _maybe_vmap(fn, arr):
+    """Apply a rows-leading transform, vmapping over a party axis if present
+    (share arrays are (P, rows, L) in the stacked backend)."""
+    if arr.ndim == 3:
+        return jax.vmap(fn)(arr)
+    return fn(arr)
+
+
+def witness_map_mpc(cs: R1CS, scheme, z_sh):
+    """QAP witness map over shares: every step is local linear algebra
+    except the single batched pointwise product, which runs the scheme's
+    multiplication protocol (ref groth/r1cs_to_qap.rs:92 batch_product)."""
+    a_rows, _, _ = cs.padded_rows()
+    domain = ntt.get_radix2_domain(len(a_rows))
+    mats = cs.device_matrices(domain.n)
+
+    lin = scheme.lin_map
+    a_ev = lin(lambda arr: sparse_matvec(mats[0], arr), z_sh)
+    b_ev = lin(lambda arr: sparse_matvec(mats[1], arr), z_sh)
+    c_ev = lin(lambda arr: sparse_matvec(mats[2], arr), z_sh)
+
+    a_cos = lin(lambda arr: _maybe_vmap(domain.coset_fft, _maybe_vmap(domain.ifft, arr)), a_ev)
+    b_cos = lin(lambda arr: _maybe_vmap(domain.coset_fft, _maybe_vmap(domain.ifft, arr)), b_ev)
+    c_cos = lin(lambda arr: _maybe_vmap(domain.coset_fft, _maybe_vmap(domain.ifft, arr)), c_ev)
+
+    ab = scheme.mul(a_cos, b_cos)             # [NETWORK: 1 batched round]
+    num = scheme.sub(ab, c_cos)
+    zinv = domain.vanishing_on_coset_inv()
+    h_cos = lin(lambda arr: F.mul(FR, arr, zinv[None]), num)
+    h = lin(lambda arr: _maybe_vmap(domain.coset_ifft, arr), h_cos)
+    return lin(lambda arr: arr[..., : domain.n - 1, :], h)
+
+
+def prove_mpc(pk: ProvingKey, cs: R1CS, scheme, z_sh, r_sh, s_sh) -> Proof:
+    """Collaborative prove over a shared assignment.  Mirrors `prove` with
+    every value a share; only the Beaver product, the scalar openings inside
+    g_scale_shared, and the final proof reveal communicate."""
+    G1 = cv.FQ_OPS
+    G2 = cv.FQ2_OPS
+    h = witness_map_mpc(cs, scheme, z_sh)
+
+    ninst = cs.num_instance
+    wit = scheme.lin_map(lambda a: a[..., ninst:, :], z_sh)
+
+    h_acc = scheme.g_msm(G1, pk.h_query, h)
+    l_acc = scheme.g_msm(G1, pk.l_query, wit)
+    a_acc = scheme.g_msm(G1, pk.a_query, z_sh)
+    b1_acc = scheme.g_msm(G1, pk.b_g1_query, z_sh)
+    b2_acc = scheme.g_msm(G2, pk.b_g2_query, z_sh)
+
+    r_delta = scheme.g_from_scalar_mul(G1, pk.delta_g1, r_sh)
+    s_delta = scheme.g_from_scalar_mul(G1, pk.delta_g1, s_sh)
+    s_delta2 = scheme.g_from_scalar_mul(G2, pk.delta_g2, s_sh)
+
+    g_a = scheme.g_shift(G1, scheme.g_add(G1, a_acc, r_delta), pk.alpha_g1)
+    g1_b = scheme.g_shift(G1, scheme.g_add(G1, b1_acc, s_delta), pk.beta_g1)
+    g2_b = scheme.g_shift(G2, scheme.g_add(G2, b2_acc, s_delta2), pk.beta_g2)
+
+    s_ga = scheme.g_scale_shared(G1, g_a, s_sh)       # [NETWORK: Beaver/king]
+    r_gb = scheme.g_scale_shared(G1, g1_b, r_sh)      # [NETWORK]
+    rs = scheme.mul(r_sh, s_sh)                       # [NETWORK]
+    rs_delta = scheme.g_from_scalar_mul(G1, pk.delta_g1, rs)
+
+    neg = lambda sh: (
+        sh._replace(pt=cv.point_neg(G1, sh.pt), mac=cv.point_neg(G1, sh.mac))
+        if hasattr(sh, "mac")
+        else cv.point_neg(G1, sh)
+    )
+    g_c = scheme.g_add(G1, s_ga, r_gb)
+    g_c = scheme.g_add(G1, g_c, neg(rs_delta))
+    g_c = scheme.g_add(G1, g_c, l_acc)
+    g_c = scheme.g_add(G1, g_c, h_acc)
+
+    # reveal the proof (ref proof.rs:135 proof.reveal() -> broadcast + checks)
+    a_pub = scheme.g_reveal(G1, g_a)
+    b_pub = scheme.g_reveal(G2, g2_b)
+    c_pub = scheme.g_reveal(G1, g_c)
+    scheme.ctx.assert_checks()
+    return Proof(a=a_pub, b=b_pub, c=c_pub)
+
+
+# ---------------------------------------------------------------------------
 # Verifier (host)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,88 @@
+"""MPC share-scheme unit tests: the analog of the reference's
+mpc-algebra integration examples (ref mpc-algebra/examples/gsz20.rs and the
+client computations, SURVEY.md §4.2): opened MPC results are compared
+against plain recomputation; corrupted shares/MACs must abort.
+"""
+
+import numpy as np
+import pytest
+
+from collaborative_zksnark_tpu.algebra import bls12_377 as C
+from collaborative_zksnark_tpu.algebra import field as F
+from collaborative_zksnark_tpu.algebra import hostfield as H
+from collaborative_zksnark_tpu.mpc import wire
+from collaborative_zksnark_tpu.mpc.context import MpcCheckError, MpcContext
+from collaborative_zksnark_tpu.ops import curve as cv
+from collaborative_zksnark_tpu.parallel.net import StackedNet
+
+P = C.R_MOD
+
+CASES = [("hbc", 2), ("hbc", 3), ("spdz", 2), ("spdz", 3), ("gsz", 3), ("gsz", 4)]
+
+
+def _mk(name, n):
+    net = StackedNet(n)
+    ctx = MpcContext(net, seed=11)
+    return ctx, wire.make_scheme(name, ctx)
+
+
+@pytest.mark.parametrize("name,n", CASES, ids=[f"{a}{b}" for a, b in CASES])
+def test_field_protocols(name, n):
+    ctx, sch = _mk(name, n)
+    xs = [123456789, 0, P - 1, 42]
+    ys = [111, 222, 333, 444]
+    sh = sch.king_share(F.FR.to_device(xs))
+    sh2 = sch.from_public(F.FR.to_device(ys))
+    assert [int(v) for v in F.FR.to_host(sch.reveal(sh))] == xs
+    s = sch.add(sh, sh2)
+    assert [int(v) for v in F.FR.to_host(sch.reveal(s))] == [
+        (x + y) % P for x, y in zip(xs, ys)
+    ]
+    m = sch.mul(sh, sh2)
+    assert [int(v) for v in F.FR.to_host(sch.reveal(m))] == [
+        x * y % P for x, y in zip(xs, ys)
+    ]
+    pp = sch.partial_products(sh2)
+    exp = []
+    acc = 1
+    for y in ys:
+        acc = acc * y % P
+        exp.append(acc)
+    assert [int(v) for v in F.FR.to_host(sch.reveal(pp))] == exp
+    ctx.assert_checks()
+
+
+@pytest.mark.parametrize("name,n", [("spdz", 2), ("gsz", 4)])
+def test_malicious_abort(name, n):
+    """Corrupting a share/MAC must trip the runtime checks
+    (ref spdz.rs:129 MAC assert; gsz degree check :449-455)."""
+    ctx, sch = _mk(name, n)
+    xs = [5, 6, 7, 8]
+    sh = sch.king_share(F.FR.to_device(xs))
+    if name == "spdz":
+        bad = sh._replace(mac=sh.mac.at[0, 0, 0].add(3))
+    else:
+        bad = sh.at[0, 0, 0].add(1)
+    sch.reveal(bad)
+    with pytest.raises(MpcCheckError):
+        ctx.assert_checks()
+
+
+@pytest.mark.parametrize("name,n", [("hbc", 2), ("spdz", 2), ("gsz", 3)])
+def test_group_protocols(name, n):
+    ctx, sch = _mk(name, n)
+    k1, k2 = 777, 888
+    p1 = H.G1.scalar_mul(H.G1_GEN, k1)
+    Pd = cv.g1_from_host([p1])
+    Psc = cv.JacPoint(Pd.x[0], Pd.y[0], Pd.z[0])
+    gsh = sch.g_from_public(cv.FQ_OPS, Psc)
+    rev = sch.g_reveal(cv.FQ_OPS, gsh)
+    assert cv.g1_to_host(cv.JacPoint(rev.x[None], rev.y[None], rev.z[None]))[0] == p1
+    ksh = sch.from_public(F.FR.to_device([k2])[0])
+    res = sch.g_scale_shared(cv.FQ_OPS, gsh, ksh)
+    rev2 = sch.g_reveal(cv.FQ_OPS, res)
+    assert (
+        cv.g1_to_host(cv.JacPoint(rev2.x[None], rev2.y[None], rev2.z[None]))[0]
+        == H.G1.scalar_mul(p1, k2)
+    )
+    ctx.assert_checks()
