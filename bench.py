@@ -21,7 +21,7 @@ def log(*a):
 
 
 def main():
-    os.environ.setdefault("JAX_PLATFORMS", "axon")
+    os.environ["JAX_PLATFORMS"] = "tpu"  # the axon plugin registers as 'tpu'
     import jax
 
     jax.config.update(

@@ -74,9 +74,11 @@ def limbs_to_ints(arr):
     return [limbs_to_int(row) for row in flat]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class FieldSpec:
-    """Static description + precomputed constants of a prime field."""
+    """Static description + precomputed constants of a prime field.
+    eq=False keeps identity hashing (instances are singletons via `make`),
+    so specs can key lru_caches of jitted kernels."""
 
     name: str
     p: int          # modulus
@@ -269,12 +271,20 @@ def _relax2(c, n_out: int):
 
 
 def add(spec: FieldSpec, a, b):
+    if _route_pallas(a, b):
+        from ..ops import pallas_field
+
+        return pallas_field.add_flat(spec, a, b)
     s = a + b  # digits <= 2B-2; value < 4p < B^L
     d, _ = _carry_scan(s)
     return _ge_sub(d, spec.twop_limbs)
 
 
 def sub(spec: FieldSpec, a, b):
+    if _route_pallas(a, b):
+        from ..ops import pallas_field
+
+        return pallas_field.sub_flat(spec, a, b)
     # a - b + 2p  (in (0, 4p)), via complement addition mod B^L
     comp = (MASK - b) + jnp.asarray(spec.twop_limbs)[(None,) * (b.ndim - 1)]
     t = a + comp
@@ -289,13 +299,41 @@ def neg(spec: FieldSpec, a):
     return sub(spec, zero, a)
 
 
+import os as _os
+
+_PALLAS_FLAG = _os.environ.get("CZTPU_PALLAS", "1") != "0"
+
+
+def _pallas_ok():
+    if not _PALLAS_FLAG:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _route_pallas(a, b):
+    # On TPU every batched field op goes through the fused kernels — small
+    # batches pad to one 128-lane tile; keeping ALL sites on the kernel path
+    # keeps traced graphs uniformly tiny (scans/loops trace many sites).
+    return _pallas_ok()
+
+
 def mul(spec: FieldSpec, a, b):
     """Montgomery product REDC(a*b): single-carry-scan formulation.
 
     Inputs in [0, 2p) => T = a*b < 4p^2, S = T + m*p < 4p^2 + R*p < R^2
     (p < R/4), and the result S/R < 4p^2/R + p < 2p — closed, no final
     conditional subtraction needed.
+
+    On TPU, large batches route through the fused Pallas kernel
+    (ops/pallas_field.py) — same contract, VMEM-resident pipeline.
     """
+    if _route_pallas(a, b):
+        from ..ops import pallas_field
+
+        return pallas_field.mul_flat(spec, a, b)
     L = spec.L
     T = _conv(a, b)                                 # 2L redundant digits
     t_low = _relax2(T[..., :L], L)                  # T mod B^L, digits <= B

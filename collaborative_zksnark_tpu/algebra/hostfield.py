@@ -442,7 +442,15 @@ def pairing(P, Qpt):
 
 def multi_pairing(pairs):
     """Product of pairings: prod e(P_i, Q_i), sharing the final exponentiation
-    (the analog of PairingEngine::product_of_pairings)."""
+    (the analog of PairingEngine::product_of_pairings).  Dispatches to the
+    native C++ library (native/pairing.cpp) when built; pure-Python
+    fallback otherwise."""
+    from . import native
+
+    if native.available():
+        r = native.multi_pairing(list(pairs))
+        if r is not None:
+            return r
     f = FQ12_ONE
     for P, Qpt in pairs:
         f = fq12_mul(f, miller_loop(P, Qpt))

@@ -124,7 +124,10 @@ class DevFq2:
         return self.mul(a, a)
 
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=(-1, -2))
+        # field-aware: lazy reduction stores values in [0, 2p), so a zero
+        # may be represented by the digits of p — check both components
+        # through the base field's zero test.
+        return F.is_zero(self.spec, a[..., 0, :]) & F.is_zero(self.spec, a[..., 1, :])
 
     def select(self, mask, a, b):
         return jnp.where(jnp.asarray(mask)[..., None, None], a, b)

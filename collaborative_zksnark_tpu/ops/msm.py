@@ -100,7 +100,31 @@ def _window_digits(sc_std, c: int, n_windows: int):
 def _segmented_scan_points(fld, pts: JacPoint, seg_start):
     """Inclusive segmented prefix-sum of points along axis 0.
     seg_start: int32 (N,), 1 where a new segment begins.
-    Hillis-Steele with a single traced point_add."""
+
+    Two implementations:
+      * TPU (Pallas field kernels): work-efficient lax.associative_scan
+        (~2N point-adds) — the per-add graph is small enough to trace at
+        every scan site.
+      * CPU/jnp fallback: Hillis-Steele with ONE traced point_add inside a
+        fori_loop (N log N work but compile-light).
+    """
+    if F._pallas_ok():
+        def comb(a, b):
+            ax, ay, az, af = a
+            bx, by, bz, bf = b
+            merged = point_add(fld, JacPoint(ax, ay, az), JacPoint(bx, by, bz))
+            keep_b = bf == 1
+            out = point_select(fld, keep_b, JacPoint(bx, by, bz), merged)
+            return (out.x, out.y, out.z, af | bf)
+
+        sx, sy, sz, _ = jax.lax.associative_scan(
+            comb, (pts.x, pts.y, pts.z, seg_start), axis=0
+        )
+        return JacPoint(sx, sy, sz)
+    return _segmented_scan_points_hs(fld, pts, seg_start)
+
+
+def _segmented_scan_points_hs(fld, pts: JacPoint, seg_start):
     n = pts.x.shape[0]
     levels = max(1, (n - 1).bit_length())
     zero_batch = zero_point(fld, pts)
@@ -149,9 +173,25 @@ def _bucket_sums(fld, pts_sorted: JacPoint, digs_sorted, n_buckets):
 
 
 def _weighted_bucket_total(fld, buckets: JacPoint) -> JacPoint:
-    """sum_{b>=1} b * S_b via the running/total trick (reverse fori over
-    buckets; 2 sequential adds per bucket)."""
+    """sum_{b>=1} b * S_b.
+
+    TPU path: reversed inclusive associative scan (suffix sums) + batched
+    reduction — log-depth, fully batched over the vmapped window axis.
+    CPU path: the classic running/total reverse fori (2 adds per bucket)."""
     nb = buckets.x.shape[0]
+    if F._pallas_ok():
+        def comb(a, b):
+            out = point_add(fld, JacPoint(*a), JacPoint(*b))
+            return (out.x, out.y, out.z)
+
+        rx = jnp.flip(buckets.x, axis=0)
+        ry = jnp.flip(buckets.y, axis=0)
+        rz = jnp.flip(buckets.z, axis=0)
+        sx, sy, sz = jax.lax.associative_scan(comb, (rx, ry, rz), axis=0)
+        # sum of suffix(b) for b=1..nb-1 == sum_b b*S_b: all entries except
+        # the last (= suffix(0))
+        total = reduce_points(fld, JacPoint(sx[:-1], sy[:-1], sz[:-1]))
+        return total
     zero1 = zero_point(fld, JacPoint(buckets.x[:1], buckets.y[:1], buckets.z[:1]))
     zero_s = JacPoint(zero1.x[0], zero1.y[0], zero1.z[0])
 
@@ -182,36 +222,35 @@ def _pippenger_window(fld, points: JacPoint, digs_w, c: int) -> JacPoint:
 
 
 def msm_pippenger(fld, points: JacPoint, scalars_mont, c: int = 8) -> JacPoint:
-    """Windowed bucket MSM.  The per-window kernel is jitted once and reused
-    across all ceil(253/c) windows; window results are combined with c
-    doublings + 1 add each."""
-    sc = jax.jit(_scalar_bits_standard)(scalars_mont)
+    """Windowed bucket MSM.  ALL windows are processed simultaneously (vmap
+    over the window axis — sorts, segmented scans and the bucket reduction
+    all batch across the ~253/c windows, keeping the VPU full); window
+    results are then combined with a c-doublings + add ladder."""
+    return _pippenger_kernel(fld, c)(points, scalars_mont)
+
+
+@functools.lru_cache(maxsize=None)
+def _pippenger_kernel(fld, c):
     n_windows = (FR_BITS + c - 1) // c
-    digs = jax.jit(functools.partial(_window_digits, c=c, n_windows=n_windows))(sc)
 
-    window_fn = _window_kernel(fld, c)
-    results = [window_fn(points, digs[w]) for w in range(n_windows)]
+    def f(points, scalars_mont):
+        sc = _scalar_bits_standard(scalars_mont)
+        digs = _window_digits(sc, c, n_windows)            # (W, N)
+        window = lambda d: _pippenger_window(fld, points, d, c)
+        results = jax.vmap(window)(digs)                   # (W, ...)
 
-    combine = _combine_kernel(fld, c)
-    acc = results[-1]
-    for w in range(n_windows - 2, -1, -1):
-        acc = combine(acc, results[w])
-    return acc
+        def body(i, acc):
+            w = n_windows - 2 - i
 
+            def dbl(_, Q):
+                return point_double(fld, Q)
 
-@functools.lru_cache(maxsize=None)
-def _window_kernel(fld, c):
-    return jax.jit(lambda pts, digs: _pippenger_window(fld, pts, digs, c))
+            acc = jax.lax.fori_loop(0, c, dbl, acc)
+            wres = JacPoint(results.x[w], results.y[w], results.z[w])
+            return point_add(fld, acc, wres)
 
-
-@functools.lru_cache(maxsize=None)
-def _combine_kernel(fld, c):
-    def f(acc, wres):
-        def dbl(_, P):
-            return point_double(fld, P)
-
-        acc = jax.lax.fori_loop(0, c, dbl, acc)
-        return point_add(fld, acc, wres)
+        top = JacPoint(results.x[-1], results.y[-1], results.z[-1])
+        return jax.lax.fori_loop(0, n_windows - 1, body, top)
 
     return jax.jit(f)
 

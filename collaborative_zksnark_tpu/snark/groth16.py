@@ -407,11 +407,14 @@ def verify(vk: VerifyingKey, proof: HostProof, public_inputs: List[int]) -> bool
     acc = None
     for x, pt in zip(xs, vk.gamma_abc_g1):
         acc = H.G1.add(acc, H.G1.scalar_mul(pt, x))
-    lhs = H.pairing(proof.a, proof.b)
-    rhs = H.fq12_mul(
-        H.pairing(vk.alpha_g1, vk.beta_g2),
-        H.fq12_mul(
-            H.pairing(acc, vk.gamma_g2), H.pairing(proof.c, vk.delta_g2)
-        ),
+    # e(-A,B) e(alpha,beta) e(acc,gamma) e(C,delta) == 1 (one shared
+    # final exponentiation; native C++ when available)
+    prod = H.multi_pairing(
+        [
+            (H.G1.neg(proof.a), proof.b),
+            (vk.alpha_g1, vk.beta_g2),
+            (acc, vk.gamma_g2),
+            (proof.c, vk.delta_g2),
+        ]
     )
-    return lhs == rhs
+    return prod == H.FQ12_ONE

@@ -142,9 +142,11 @@ def open_share(scheme, srs: KzgSrs, coeffs_sh, x: int):
 
 
 def host_verify(srs: KzgSrs, commitment, x: int, y: int, proof) -> bool:
-    """e(C - [y]_1, [1]_2) == e(W, [tau - x]_2) — host pairings."""
+    """e(C - [y]_1, [1]_2) * e(-W, [tau - x]_2) == 1 — host pairings
+    (native C++ when available, shared final exponentiation)."""
     c_minus_y = H.G1.add(commitment, H.G1.neg(H.G1.scalar_mul(H.G1_GEN, y)))
     tau_minus_x = H.G2.add(srs.beta_g2, H.G2.neg(H.G2.scalar_mul(H.G2_GEN, x)))
-    lhs = H.pairing(c_minus_y, srs.g2)
-    rhs = H.pairing(proof, tau_minus_x)
-    return lhs == rhs
+    prod = H.multi_pairing(
+        [(c_minus_y, srs.g2), (H.G1.neg(proof), tau_minus_x)]
+    )
+    return prod == H.FQ12_ONE
