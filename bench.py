@@ -51,12 +51,12 @@ def main():
     coeffs = F.FR.to_device([int.from_bytes(rng.bytes(40), "little") % P for _ in range(256)])
     big = F.rand(F.FR, rng, (n,))
     y = dom.fft(big)
-    y.block_until_ready()
+    np.asarray(y[0])  # force full materialization (tunnel-proof)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         y = dom.fft(y)
-    y.block_until_ready()
+    np.asarray(y[0])
     ntt_time = (time.perf_counter() - t0) / reps
     butterflies = n // 2 * 16  # n/2 per stage * log2(n) stages
     log(f"NTT 2^16: {ntt_time*1e3:.1f} ms -> {butterflies/ntt_time/1e6:.1f} M butterflies/s")
@@ -68,10 +68,11 @@ def main():
     pts = msm_mod.fixed_base_msm(cv.FQ_OPS, H.G1, H.G1_GEN, base_sc, c=8)
     sc = F.rand(F.FR, rng, (n_msm,))
     res = msm_mod.msm_pippenger(cv.FQ_OPS, pts, sc, c=8)
-    res.x.block_until_ready()
+    np.asarray(res.x)
+    sc2 = F.rand(F.FR, rng, (n_msm,))
     t0 = time.perf_counter()
-    res = msm_mod.msm_pippenger(cv.FQ_OPS, pts, sc, c=8)
-    res.x.block_until_ready()
+    res = msm_mod.msm_pippenger(cv.FQ_OPS, pts, sc2, c=8)
+    np.asarray(res.x)
     msm_time = time.perf_counter() - t0
     log(f"MSM 2^14: {msm_time*1e3:.1f} ms -> {n_msm/msm_time/1e3:.1f} K points/s")
 
@@ -87,12 +88,11 @@ def main():
     s_m = F.rand(F.FR, rng, ())
     # warm-up (compile)
     proof = groth16.prove(pk, cs, z, r_m, s_m)
-    proof.a.x.block_until_ready()
+    groth16.reveal_proof(proof)
     t0 = time.perf_counter()
     proof = groth16.prove(pk, cs, z, r_m, s_m)
-    proof.a.x.block_until_ready()
+    hp = groth16.reveal_proof(proof)  # materializes the proof on host
     prove_time = time.perf_counter() - t0
-    hp = groth16.reveal_proof(proof)
     ok = groth16.verify(vk, hp, inst[1:])
     log(f"groth16 local prove 2^11: {prove_time:.3f}s verified={ok}")
     assert ok

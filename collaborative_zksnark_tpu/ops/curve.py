@@ -181,7 +181,13 @@ def zero_point(fld, shape_like: JacPoint) -> JacPoint:
 def point_double(fld, P: JacPoint) -> JacPoint:
     """2P for a=0 curves (dbl-2009-l).  Identity maps to identity (Z=0 stays
     0).  Independent field products are stacked into batched muls (4 mul ops
-    total) to keep the HLO graph small — scans/loops trace this many times."""
+    total) to keep the HLO graph small — scans/loops trace this many times.
+    On TPU, G1 doubles route to the fused Pallas kernel."""
+    if fld is FQ_OPS and F._pallas_ok():
+        from . import pallas_curve
+
+        x, y, z = pallas_curve.point_double_g1((P.x, P.y, P.z))
+        return JacPoint(x, y, z)
     A, Bv, YZ = fld.mul_many([(P.x, P.x), (P.y, P.y), (P.y, P.z)])
     xb = fld.add(P.x, Bv)
     Cv, t = fld.mul_many([(Bv, Bv), (xb, xb)])
@@ -198,7 +204,13 @@ def point_add(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
     """General branchless add: handles identity operands, doubling, and
     inverse pairs via vector selects (no control flow).  The Jacobian add
     and the doubling path are evaluated together with their independent
-    products stacked into 5 batched muls."""
+    products stacked into 5 batched muls.
+    On TPU, G1 adds route to the fused Pallas kernel (ONE launch)."""
+    if fld is FQ_OPS and F._pallas_ok():
+        from . import pallas_curve
+
+        x, y, z = pallas_curve.point_add_g1((P.x, P.y, P.z), (Q.x, Q.y, Q.z))
+        return JacPoint(x, y, z)
     # G1
     Z1Z1, Z2Z2, A, Bv, YZ = fld.mul_many(
         [(P.z, P.z), (Q.z, Q.z), (P.x, P.x), (P.y, P.y), (P.y, P.z)]
