@@ -191,16 +191,18 @@ def _dbl_kernel(n_tiles: int, T: int):
 
 
 TILE = 1024
+SMALL_TILE = 512
 
 
 def _flatten(coords):
-    """(..., L) coord arrays -> ((L, Npad) planes, unflatten info)."""
+    """(..., L) coord arrays -> ((L, Npad) planes, unflatten info).
+    Lane counts quantize to two tile shapes (see pallas_field.binop_flat)."""
     shape = coords[0].shape
     n = 1
     for s in shape[:-1]:
         n *= s
     flat = [c.reshape(n, FQ.L) for c in coords]
-    tile = TILE if n >= TILE else 128
+    tile = SMALL_TILE if n <= SMALL_TILE else TILE
     pad = (-n) % tile
     if pad:
         flat = [jnp.pad(c, ((0, pad), (0, 0))) for c in flat]

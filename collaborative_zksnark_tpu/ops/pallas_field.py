@@ -218,19 +218,26 @@ def _binop_kernel_grid(spec, op: str, n_tiles: int, T: int):
     return jax.jit(fn)
 
 
+SMALL_TILE = 512
+
+
 def binop_flat(spec, op: str, a, b):
-    """Dispatch an (..., L) binary field op through the fused kernels."""
+    """Dispatch an (..., L) binary field op through the fused kernels.
+
+    Lane counts are quantized to exactly TWO tile shapes (SMALL_TILE for
+    small batches, TILE-multiples for large) so the whole framework compiles
+    only two Mosaic kernel variants per op/field — per-size kernels would
+    cost minutes of compile each."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape).reshape(-1, spec.L)
     b = jnp.broadcast_to(b, shape).reshape(-1, spec.L)
     n = a.shape[0]
-    tile = TILE
-    pad = (-n) % tile if n >= tile else (-n) % 128
+    t = SMALL_TILE if n <= SMALL_TILE else TILE
+    pad = (-n) % t
     if pad:
         a = jnp.pad(a, ((0, pad), (0, 0)))
         b = jnp.pad(b, ((0, pad), (0, 0)))
     m = a.shape[0]
-    t = tile if m % tile == 0 else m
     out = _binop_kernel_grid(spec, op, m // t, t)(a.T, b.T).T
     if pad:
         out = out[:n]
