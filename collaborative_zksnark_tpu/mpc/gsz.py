@@ -51,6 +51,45 @@ def _party_domain(n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _party_vandermonde(n: int):
+    """(V, V^-1) for the party domain as Montgomery device constants.
+
+    Party domains are tiny (n <= ~32), so the share-polynomial transforms
+    are explicit matrix products — a handful of batched field ops instead of
+    the full NTT machinery (compile-light, works for any n with an n-th
+    root of unity)."""
+    dom = _party_domain(n)
+    pts = dom.elements()
+    V = [[pow(w, j, P) for j in range(n)] for w in pts]
+    # invert mod P (Gauss-Jordan over Python ints)
+    A = [row[:] + [1 if i == j else 0 for j in range(n)] for i, row in enumerate(V)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if A[r][col] % P != 0)
+        A[col], A[piv] = A[piv], A[col]
+        inv = pow(A[col][col], P - 2, P)
+        A[col] = [v * inv % P for v in A[col]]
+        for r in range(n):
+            if r != col and A[r][col] % P:
+                f = A[r][col]
+                A[r] = [(v - f * w) % P for v, w in zip(A[r], A[col])]
+    Vinv = [row[n:] for row in A]
+    to_dev = lambda M: FR.to_device([v for row in M for v in row]).reshape(
+        (n, n, FR.L)
+    )
+    return to_dev(V), to_dev(Vinv)
+
+
+def _party_matmul(M_dev, x):
+    """(n, n, L) public matrix x (n, ..., L) rows -> (n, ..., L):
+    out[i] = sum_j M[i, j] * x[j] (batched scale + log-fold)."""
+    n = x.shape[0]
+    extra = x.ndim - 2
+    Mb = M_dev.reshape((n, n) + (1,) * extra + (FR.L,))
+    prods = F.mul(FR, Mb, x[None])          # (n, n, ..., L)
+    return F.fold_sum(FR, prods, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
 def _lagrange_at_zero(n: int) -> List[int]:
     """lambda_i with sum lambda_i f(w^i) = f(0) for deg(f) <= n-1."""
     dom = _party_domain(n)
@@ -95,12 +134,14 @@ class GszScheme:
                 jnp.zeros((pad,) + tuple(shape) + (FR.L,), jnp.uint32)
             )
         cvec = jnp.concatenate(coeffs, axis=0)  # (n, ..., L)
-        return self.dom.fft(cvec)
+        V, _ = _party_vandermonde(n)
+        return _party_matmul(V, cvec)
 
     def _open_raw(self, sh, degree):
         """gather -> iFFT over party axis -> (value=f(0)=c0, degree_ok)."""
         g = self.net.all_gather(sh)
-        coeffs = self.dom.ifft(g)
+        _, Vinv = _party_vandermonde(self.net.n_parties())
+        coeffs = _party_matmul(Vinv, g)
         value = coeffs[0]
         if degree + 1 < self.net.n_parties():
             ok = jnp.all(F.is_zero(FR, coeffs[degree + 1 :]))
@@ -156,7 +197,8 @@ class GszScheme:
 
     def _degree_reduce(self, sh_2t):
         g = self.net.gather_to_king(sh_2t)
-        coeffs = self.dom.ifft(g)
+        _, Vinv = _party_vandermonde(self.net.n_parties())
+        coeffs = _party_matmul(Vinv, g)
         value = coeffs[0]
         if 2 * self.t + 1 < self.net.n_parties():
             ok = jnp.all(F.is_zero(FR, coeffs[2 * self.t + 1 :]))
