@@ -231,15 +231,33 @@ def _conv(a, b, n_out=None):
     """c_k = sum_{i+j=k} a_i b_j with deferred carries.
 
     a: (..., La), b: (..., Lb) canonical uint32 digits (< 2^16).
-    Output (..., n_out or La+Lb) redundant digits < 2^22 (safe for
-    normalize).  Formulated as an outer product + two one-hot matmuls so the
-    whole convolution is 4 XLA ops regardless of L (compile-time friendly;
-    the Pallas kernel path replaces this on TPU hot loops).
+    Output (..., n_out or La+Lb) redundant digits < 2^23 (safe for
+    normalize).
+
+    Two formulations, chosen by backend at trace time:
+      * TPU: outer product + two one-hot matmuls — 4 XLA ops regardless of
+        L, and the matmuls ride the MXU.  (The Pallas kernel path replaces
+        this on TPU hot loops anyway.)
+      * CPU: shift-add schoolbook — XLA:CPU lowers integer matmuls to naive
+        scalar loops (La*Lb*K mul-adds/element, ~50 us/element for Fq); the
+        unrolled slice-add form is ~La*Lb vector ops and ~25x faster.
     """
     La = a.shape[-1]
     Lb = b.shape[-1]
     K = La + Lb if n_out is None else n_out
     outer = a[..., :, None] * b[..., None, :]   # u32 products, exact
+    if jax.default_backend() == "cpu":
+        lo = outer & MASK                       # (..., La, Lb) < 2^16
+        hi = outer >> LIMB_BITS                 # < 2^16
+        c = jnp.zeros(outer.shape[:-2] + (K,), U32)
+        for i in range(La):
+            wl = min(Lb, K - i)
+            if wl > 0:
+                c = c.at[..., i : i + wl].add(lo[..., i, :wl])
+            wh = min(Lb, K - i - 1)
+            if wh > 0:
+                c = c.at[..., i + 1 : i + 1 + wh].add(hi[..., i, :wh])
+        return c
     lo = (outer & MASK).reshape(outer.shape[:-2] + (La * Lb,))
     hi = (outer >> LIMB_BITS).reshape(outer.shape[:-2] + (La * Lb,))
     m_lo, m_hi = _conv_mats(La, Lb, K)
@@ -270,21 +288,34 @@ def _relax2(c, n_out: int):
     return c[..., :n_out]
 
 
-def add(spec: FieldSpec, a, b):
-    if _route_pallas(a, b):
-        from ..ops import pallas_field
+def _ffi_suffix(spec: FieldSpec):
+    """Native CPU backend routing: non-None iff the FFI library is loaded,
+    the default backend is CPU, and the spec is one of the two baked-in
+    BLS12-377 fields."""
+    from . import ffi_field
 
-        return pallas_field.add_flat(spec, a, b)
+    if not ffi_field.HAVE_FFI or jax.default_backend() != "cpu":
+        return None
+    return {"bls12_377_fr": "fr", "bls12_377_fq": "fq"}.get(spec.name)
+
+
+def _add_impl(spec: FieldSpec, a, b):
+    sfx = _ffi_suffix(spec)
+    if sfx is not None:
+        from . import ffi_field
+
+        return ffi_field.binop(sfx, "add", a, b)
     s = a + b  # digits <= 2B-2; value < 4p < B^L
     d, _ = _carry_scan(s)
     return _ge_sub(d, spec.twop_limbs)
 
 
-def sub(spec: FieldSpec, a, b):
-    if _route_pallas(a, b):
-        from ..ops import pallas_field
+def _sub_impl(spec: FieldSpec, a, b):
+    sfx = _ffi_suffix(spec)
+    if sfx is not None:
+        from . import ffi_field
 
-        return pallas_field.sub_flat(spec, a, b)
+        return ffi_field.binop(sfx, "sub", a, b)
     # a - b + 2p  (in (0, 4p)), via complement addition mod B^L
     comp = (MASK - b) + jnp.asarray(spec.twop_limbs)[(None,) * (b.ndim - 1)]
     t = a + comp
@@ -292,6 +323,44 @@ def sub(spec: FieldSpec, a, b):
     t = _relax(t, extra_limb=False)  # mod B^L: drops the +B^L from complement
     d, _ = _carry_scan(t)
     return _ge_sub(d, spec.twop_limbs)
+
+
+@functools.lru_cache(maxsize=None)
+def _op_kernel(spec: FieldSpec, name: str, sa, sb):
+    """Shape-cached jitted binary field op.  Eagerly dispatching the ~30-op
+    limb graphs costs ~10 ms per call on CPU; the jitted executable costs
+    ~0.1 ms — this wrapper is THE difference between a usable and an
+    unusable CPU test suite."""
+    impl = {"add": _add_impl, "sub": _sub_impl, "mul": _mul_impl}[name]
+    return jax.jit(functools.partial(impl, spec))
+
+
+def _dispatch(spec: FieldSpec, name: str, a, b):
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+        # Already under a trace (kernel body): inline directly — nested-jit
+        # wrappers would only add per-call tracing machinery.
+        return {"add": _add_impl, "sub": _sub_impl, "mul": _mul_impl}[name](
+            spec, a, b
+        )
+    return _op_kernel(spec, name, a.shape, b.shape)(a, b)
+
+
+def add(spec: FieldSpec, a, b):
+    if _route_pallas(a, b):
+        from ..ops import pallas_field
+
+        return pallas_field.add_flat(spec, a, b)
+    return _dispatch(spec, "add", a, b)
+
+
+def sub(spec: FieldSpec, a, b):
+    if _route_pallas(a, b):
+        from ..ops import pallas_field
+
+        return pallas_field.sub_flat(spec, a, b)
+    return _dispatch(spec, "sub", a, b)
 
 
 def neg(spec: FieldSpec, a):
@@ -334,6 +403,15 @@ def mul(spec: FieldSpec, a, b):
         from ..ops import pallas_field
 
         return pallas_field.mul_flat(spec, a, b)
+    return _dispatch(spec, "mul", a, b)
+
+
+def _mul_impl(spec: FieldSpec, a, b):
+    sfx = _ffi_suffix(spec)
+    if sfx is not None:
+        from . import ffi_field
+
+        return ffi_field.binop(sfx, "mul", a, b)
     L = spec.L
     T = _conv(a, b)                                 # 2L redundant digits
     t_low = _relax2(T[..., :L], L)                  # T mod B^L, digits <= B

@@ -93,7 +93,10 @@ class AdditiveScheme:
     def reveal(self, sh):
         """Broadcast + sum (ref add.rs:85-87)."""
         g = self.net.all_gather(sh)
-        return _fold_field(g)
+        val = _fold_field(g)
+        if self.ctx.debug:
+            self.ctx.push_check("check_eq", self.net.check_eq(val))
+        return val
 
     # linear (local)
     def add(self, a, b):
@@ -258,9 +261,20 @@ class AdditiveScheme:
         return cv.JacPoint(st(P_pub.x), st(P_pub.y), st(P_pub.z))
 
     def g_scale_pub_point(self, fld, P_pub_batch: cv.JacPoint, k_sh):
-        """public points x shared scalars -> shared points: LOCAL MSM-style
-        scalar mul per element (ref share/add.rs:256-260 semantics)."""
-        raise NotImplementedError("use ops.msm over share scalars")
+        """public points x shared scalars -> shared points: LOCAL batched
+        scalar mul on each party's scalar shares (ref share/add.rs:256-260
+        scale_pub_group)."""
+        if self._has_party_axis():
+            n = self.net.n_parties()
+            outs = [
+                cv.point_scale_batch(fld, P_pub_batch, k_sh[i]) for i in range(n)
+            ]
+            return cv.JacPoint(
+                jnp.stack([o.x for o in outs]),
+                jnp.stack([o.y for o in outs]),
+                jnp.stack([o.z for o in outs]),
+            )
+        return cv.point_scale_batch(fld, P_pub_batch, k_sh)
 
     def g_scale_shared(self, fld, P_sh: cv.JacPoint, k_sh):
         """shared point x shared scalar via a group Beaver triple

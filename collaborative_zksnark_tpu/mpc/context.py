@@ -27,10 +27,13 @@ class MpcCheckError(AssertionError):
 
 
 class MpcContext:
-    def __init__(self, net, seed: int = 0):
+    def __init__(self, net, seed: int = 0, debug: bool = False):
         self.net = net
         self.rng = np.random.default_rng(seed)
         self.checks: List[Tuple[str, object]] = []
+        # debug: run the cross-party `check_eq` consistency assert on every
+        # reveal (ref wire/macros.rs:10-38 — debug-build-only upstream too)
+        self.debug = debug
 
     @property
     def n(self) -> int:

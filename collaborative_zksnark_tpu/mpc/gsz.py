@@ -118,6 +118,9 @@ class GszScheme:
         self.dom = _party_domain(n)
         self.triple_queue: List[Tuple] = []
         self.group_triple_queue: List[Tuple] = []
+        from . import beaver
+
+        self.field_source = beaver.DummyFieldTripleSource(self)
 
     # ---------------- helpers ----------------
     def _share_poly(self, pub, degree, randomize=True):
@@ -166,6 +169,8 @@ class GszScheme:
         self.run_deferred_checks()
         val, ok = self._open_raw(sh, self.t)
         self.ctx.push_check("gsz_degree", ok)
+        if self.ctx.debug:
+            self.ctx.push_check("check_eq", self.net.check_eq(val))
         return val
 
     def add(self, a, b):
@@ -228,45 +233,161 @@ class GszScheme:
         return isinstance(self.net, StackedNet)
 
     def partial_products(self, xs):
-        """Prefix products in log2(N) batched GSZ multiplication rounds
-        (Hillis-Steele over the element axis; each round is ONE king
-        exchange — the GSZ analog of the masked prefix-product protocol)."""
-        n = self._pub_shape(xs)[0]
-        axis = 1 if self._stacked() else 0
-        one = self.from_public(self.ones_public((n,)))
-        idx = jnp.arange(n)
-        cond_shape = (1, n, 1) if self._stacked() else (n, 1)
-        acc = xs
-        shiftv = 1
-        while shiftv < n:
-            rolled = jnp.roll(acc, shiftv, axis=axis)
-            keep = (idx >= shiftv).reshape(cond_shape)
-            rolled = jnp.where(keep, rolled, one)
-            acc = self.mul(acc, rolled)
-            shiftv <<= 1
-        return acc
+        """Masked prefix-product protocol (ref share/field.rs:163-182, the
+        default FieldShare::partial_products the reference's GSZ also uses):
+        inverse-pair masking, ONE batched opening, public prefix scan,
+        unmask.  O(1) king rounds regardless of N (replaces the round-1
+        log-round Hillis-Steele)."""
+        npts = self._pub_shape(xs)[0]
+        r, s = self.field_source.inv_pair((npts + 1,))
+        r_lead = r[..., :npts, :]
+        s_next = s[..., 1:, :]
+        u = self.mul(xs, r_lead)
+        m = self.reveal(self.mul(u, s_next))
+        pref = jax.lax.associative_scan(
+            lambda a, b: F.mul(FR, a, b), m, axis=0
+        )
+        return self.scale(r[..., 1:, :], pref)
+
+    # ------------------------------------------------------------------
+    # Deferred verification: hadamard -> ip_check -> recursive ip_compress
+    # (Goyal-Song; ref gsz20/mod.rs:599-787 Protocols 12-15)
+    # ------------------------------------------------------------------
+
+    def _coin(self) -> jnp.ndarray:
+        """Public coin: all parties derive the same value
+        (ref gsz20/mod.rs:526-531)."""
+        return self.ctx.rand_fr(())
+
+    def _elem_axis(self):
+        return 1 if self._stacked() else 0
+
+    def _ip_compute(self, xs, ys):
+        """<xs, ys> as a share: elementwise king-mult (unqueued) + local
+        fold (ref gsz20/mod.rs:790-800 ip_compute)."""
+        prods = self.mul(xs, ys, queue_check=False)
+        if self._stacked():
+            return _sum_axis1(prods)
+        return F.fold_sum(FR, prods, axis=0)
+
+    def _flatten_queue(self, queue):
+        """Concat every queued (x, y, z) triple into flat element vectors
+        along the share element axis."""
+        ax = self._elem_axis()
+
+        def flat(a):
+            if self._stacked():
+                return a.reshape((a.shape[0], -1, FR.L))
+            return a.reshape((-1, FR.L))
+
+        xs = jnp.concatenate([flat(x) for (x, _, _) in queue], axis=ax)
+        ys = jnp.concatenate([flat(y) for (_, y, _) in queue], axis=ax)
+        zs = jnp.concatenate([flat(z) for (_, _, z) in queue], axis=ax)
+        return xs, ys, zs
+
+    def _take(self, arr, lo, hi):
+        if self._stacked():
+            return arr[:, lo:hi]
+        return arr[lo:hi]
+
+    def _ip_check(self, xs, ys, ip):
+        """Recursively compress <xs, ys> ?= ip to a single blinded product
+        check (ref gsz20/mod.rs:738-787 Protocols 14+15).  The halving loop
+        has a FIXED trip count given the (static) queue length."""
+        n = xs.shape[self._elem_axis()]
+        while n > 1:
+            if n % 2 == 1:
+                pad = [(0, 0)] * xs.ndim
+                pad[self._elem_axis()] = (0, 1)
+                xs = jnp.pad(xs, pad)
+                ys = jnp.pad(ys, pad)
+                n += 1
+            h = n // 2
+            xl, xr = self._take(xs, 0, h), self._take(xs, h, n)
+            yl, yr = self._take(ys, 0, h), self._take(ys, h, n)
+            ip_l = self._ip_compute(xl, yl)
+            ip_r = F.sub(FR, ip, ip_l)
+            # lines through (1, l) and (2, r): m = r - l; value at 3 = r + m
+            xm = F.sub(FR, xr, xl)
+            ym = F.sub(FR, yr, yl)
+            x3 = F.add(FR, xr, xm)
+            y3 = F.add(FR, yr, ym)
+            ip3 = self._ip_compute(x3, y3)
+            lam = self._coin()
+            # evaluate lines at lam: l + (lam - 1) * m
+            one = jnp.asarray(FR.one_mont)
+            lam_m1 = F.sub(FR, lam, one)
+            xs = F.add(FR, xl, F.mul(FR, xm, lam_m1[(None,) * (xm.ndim - 1)]))
+            ys = F.add(FR, yl, F.mul(FR, ym, lam_m1[(None,) * (ym.ndim - 1)]))
+            # parabola through (1, ip_l), (2, ip_r), (3, ip3) at lam
+            # (ref gsz20/mod.rs:716-733 lagrange basis on 1,2,3)
+            ip = self._parabola_at(ip_l, ip_r, ip3, lam)
+            n = h
+        # blinded 1-element base case (ref :775-786)
+        xr_sh = self.king_share(self.ctx.rand_fr(()))
+        yr_sh = self.king_share(self.ctx.rand_fr(()))
+        x1 = self._squeeze_elem(xs)
+        y1 = self._squeeze_elem(ys)
+        ip_r = self.mul(xr_sh, yr_sh, queue_check=False)
+        x_blind = self.mul(x1, xr_sh, queue_check=False)
+        y_blind = self.mul(y1, yr_sh, queue_check=False)
+        ip_blind = self.mul(ip, ip_r, queue_check=False)
+        xv, okx = self._open_raw(x_blind, self.t)
+        yv, oky = self._open_raw(y_blind, self.t)
+        zv, okz = self._open_raw(ip_blind, self.t)
+        self.ctx.push_check("gsz_ip_degree", okx & oky & okz)
+        self.ctx.push_check(
+            "gsz_ip_product", F.eq(FR, F.mul(FR, xv, yv), zv)
+        )
+
+    def _squeeze_elem(self, arr):
+        if self._stacked():
+            return arr[:, 0]
+        return arr[0]
+
+    def _parabola_at(self, ip1, ip2, ip3, lam):
+        """Lagrange basis on {1,2,3} evaluated at lam (public), applied to
+        the three ip shares (local linear combination)."""
+        one = jnp.asarray(FR.one_mont)
+        two = F.add(FR, one, one)
+        three = F.add(FR, two, one)
+        l1 = F.sub(FR, lam, one)
+        l2 = F.sub(FR, lam, two)
+        l3 = F.sub(FR, lam, three)
+        inv2 = jnp.asarray(
+            F.ints_to_limbs(
+                [pow(2, P - 2, P) * ((1 << (F.LIMB_BITS * FR.L)) % P) % P], FR.L
+            )[0]
+        )
+        f1 = F.mul(FR, F.mul(FR, l2, l3), inv2)
+        f2 = F.neg(FR, F.mul(FR, l1, l3))
+        f3 = F.mul(FR, F.mul(FR, l1, l2), inv2)
+        bc = lambda c, a: F.mul(FR, a, c[(None,) * (a.ndim - 1)])
+        return F.add(
+            FR, F.add(FR, bc(f1, ip1), bc(f2, ip2)), bc(f3, ip3)
+        )
 
     def run_deferred_checks(self):
-        """Drain the multiplication-triple queue with an RLC product check
-        opened at degree 2t (deferred verification slot; ref :412-431)."""
+        """Drain the multiplication-triple queue: RLC the hadamard triples
+        into one inner-product claim, then run the recursive ip check
+        (ref gsz20/mod.rs:412-431 + 599-614 hadamard_check)."""
         if not self.triple_queue:
             return
         queue, self.triple_queue = self.triple_queue, []
-        lam = self.ctx.rand_fr(())  # public coin (ref :529-531)
-        acc = None
-        cur = jnp.asarray(FR.one_mont)
-        for (x, y, z) in queue:
-            prod = F.mul(FR, x, y)  # degree 2t, local
-            diff = F.sub(FR, prod, z)  # degree-2t sharing of 0 if honest
-            term = F.mul(FR, diff, cur[(None,) * (diff.ndim - 1)])
-            # fold any batch dims down to one element per party
-            while term.ndim > 2:
-                term = _sum_axis1(term)
-            acc = term if acc is None else F.add(FR, acc, term)
-            cur = F.mul(FR, cur, lam)
-        val, deg_ok = self._open_raw(acc, 2 * self.t)
-        self.ctx.push_check("gsz_product_check_degree", deg_ok)
-        self.ctx.push_check("gsz_product_check_zero", F.is_zero(FR, val))
+        xs, ys, zs = self._flatten_queue(queue)
+        r = self._coin()
+        m = xs.shape[self._elem_axis()]
+        # powers r^0 .. r^(m-1) via an inclusive scan over broadcast r
+        rb = jnp.broadcast_to(r, (m,) + r.shape).astype(jnp.uint32)
+        one = jnp.broadcast_to(jnp.asarray(FR.one_mont), r.shape).astype(jnp.uint32)
+        rb = rb.at[0].set(one)
+        rpow = jax.lax.associative_scan(lambda a, b: F.mul(FR, a, b), rb, axis=0)
+        xs = self.scale(xs, rpow)
+        rzs = self.scale(zs, rpow)
+        ip = (
+            _sum_axis1(rzs) if self._stacked() else F.fold_sum(FR, rzs, axis=0)
+        )
+        self._ip_check(xs, ys, ip)
 
     # ---------------- wire-layer helpers ----------------
     def lin_map(self, fn, sh):

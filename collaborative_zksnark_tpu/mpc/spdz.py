@@ -74,9 +74,11 @@ class SpdzScheme:
     # ---------------- open + MAC check ----------------
     def reveal(self, x: SpdzShare):
         val = self.base.reveal(x.sh)
-        # MAC check: d_i = alpha_i * val - mac_i ; atomic broadcast; sum == 0
+        # MAC check: d_i = alpha_i * val - mac_i ; commit-then-open
+        # broadcast (actual commitments, ref channel.rs:50-75); sum == 0
         d = F.sub(FR, self._alpha_times(val), x.mac)
-        g = self.net.atomic_gather(d)
+        g, commit_ok = self.net.atomic_gather(d)
+        self.ctx.push_check("spdz_atomic_commit", commit_ok)
         total = _fold_field(g)
         self.ctx.push_check("spdz_mac", F.is_zero(FR, total))
         return val
@@ -167,9 +169,10 @@ class SpdzScheme:
         # MAC check on the opened point: alpha_i*val - mac_i sums to identity
         alpha_val = self.base.g_from_public(fld, val)
         d = cv.point_add(fld, alpha_val, cv.point_neg(fld, x.mac))
-        gx = self.net.atomic_gather(d.x)
-        gy = self.net.atomic_gather(d.y)
-        gz = self.net.atomic_gather(d.z)
+        gx, okx = self.net.atomic_gather(d.x)
+        gy, oky = self.net.atomic_gather(d.y)
+        gz, okz = self.net.atomic_gather(d.z)
+        self.ctx.push_check("spdz_g_atomic_commit", okx & oky & okz)
         tot = _fold_points(fld, cv.JacPoint(gx, gy, gz))
         self.ctx.push_check("spdz_group_mac", fld.is_zero(tot.z))
         return val

@@ -178,7 +178,27 @@ def zero_point(fld, shape_like: JacPoint) -> JacPoint:
     return JacPoint(one, one, zero)
 
 
+def _is_concrete(*arrs) -> bool:
+    return not any(isinstance(a, jax.core.Tracer) for a in arrs)
+
+
+@functools.lru_cache(maxsize=None)
+def _point_op_kernel(fld, name: str):
+    """Shape-cached jitted point op for EAGER call sites (single adds in
+    commitment assembly, reveal paths, ...).  An eager point_add otherwise
+    dispatches ~10^2 primitives one by one — each unique shape paying an
+    XLA mini-compile — which made KZG commits seconds-slow on CPU."""
+    impl = {"add": _point_add_impl, "double": _point_double_impl}[name]
+    return jax.jit(functools.partial(impl, fld))
+
+
 def point_double(fld, P: JacPoint) -> JacPoint:
+    if _is_concrete(P.x, P.y, P.z):
+        return _point_op_kernel(fld, "double")(P)
+    return _point_double_impl(fld, P)
+
+
+def _point_double_impl(fld, P: JacPoint) -> JacPoint:
     """2P for a=0 curves (dbl-2009-l).  Identity maps to identity (Z=0 stays
     0).  Independent field products are stacked into batched muls (4 mul ops
     total) to keep the HLO graph small — scans/loops trace this many times.
@@ -201,6 +221,12 @@ def point_double(fld, P: JacPoint) -> JacPoint:
 
 
 def point_add(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
+    if _is_concrete(P.x, P.y, P.z, Q.x, Q.y, Q.z):
+        return _point_op_kernel(fld, "add")(P, Q)
+    return _point_add_impl(fld, P, Q)
+
+
+def _point_add_impl(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
     """General branchless add: handles identity operands, doubling, and
     inverse pairs via vector selects (no control flow).  The Jacobian add
     and the doubling path are evaluated together with their independent
@@ -355,6 +381,38 @@ def _scale_const_kernel(fld):
 
 def point_scale_const(fld, P: JacPoint, k_mont):
     return _scale_const_kernel(fld)(P, k_mont)
+
+
+@functools.lru_cache(maxsize=None)
+def _scale_batch_kernel(fld):
+    """Per-element scalar mul: points (N, ...) x scalars (N, L) ->
+    (N, ...) scaled points (double-and-add, one traced site)."""
+    from ..algebra.field import FR
+
+    def f(P: JacPoint, k_mont):
+        sc = F.from_mont(FR, k_mont)          # (N, L) standard form
+        acc = zero_point(fld, P)
+        nbits = 253
+
+        def body(i, acc):
+            acc = point_double(fld, acc)
+            t = nbits - 1 - i
+            limb = jax.lax.dynamic_index_in_dim(
+                sc, t // F.LIMB_BITS, axis=1, keepdims=False
+            )
+            bit = (limb >> (t % F.LIMB_BITS).astype(jnp.uint32)) & 1
+            cand = point_add(fld, acc, P)
+            return point_select(fld, bit == 1, cand, acc)
+
+        return jax.lax.fori_loop(0, nbits, body, acc)
+
+    return jax.jit(f)
+
+
+def point_scale_batch(fld, P: JacPoint, scalars_mont):
+    """[k_i * P_i] for batched points and per-element Montgomery scalars
+    (the GroupShare::scale_pub_group semantics, ref share/add.rs:256-260)."""
+    return _scale_batch_kernel(fld)(P, scalars_mont)
 
 
 def g1_from_host(points) -> JacPoint:

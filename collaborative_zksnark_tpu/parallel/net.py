@@ -88,14 +88,45 @@ class StackedNet:
         self.stats.bytes_recv += per_party * (self.n - 1)
         return sh
 
-    def atomic_gather(self, sh):
-        """Commit-then-open broadcast (ref channel.rs:50-75): same data
-        movement plus a 32-byte commitment round per party."""
+    def atomic_gather(self, sh, tamper_fn=None):
+        """Commit-then-open broadcast (ref channel.rs:50-75): each party
+        commits to its payload with a salted algebraic hash, digests are
+        exchanged, then payloads, and every party verifies the payloads
+        against the committed digests.  Returns (gathered, ok_flag) — the
+        caller queues ok on the context (abort-on-cheat).
+
+        `tamper_fn` is a TEST hook: applied to the payloads AFTER the
+        commitment round, simulating a party substituting data post-commit
+        (must trip ok=False)."""
+        from ..algebra.field import FR
+        from ..utils import arith_hash
+
+        flat = arith_hash.pack_stream(sh, batch_dims=1)   # (P, M, L)
+        def mk_salt(i):
+            arr = np.frombuffer(
+                np.random.default_rng(7 + i).bytes(2 * FR.L), "<u2"
+            ).astype(np.uint32)
+            arr = arr.copy()
+            arr[12:] = 0  # keep the salt value well below the modulus
+            return jnp.asarray(arr)
+
+        salts = jnp.stack([mk_salt(i) for i in range(self.n)])
+        digests = arith_hash.tree_hash(flat, salts)      # commit phase
         self.stats.broadcasts += 2
-        per_party = _nbytes(sh) // self.n + 32
+        per_party = _nbytes(sh) // self.n + _nbytes(digests) // self.n
         self.stats.bytes_sent += per_party * (self.n - 1)
         self.stats.bytes_recv += per_party * (self.n - 1)
-        return sh
+        opened = tamper_fn(sh) if tamper_fn is not None else sh
+        reflat = arith_hash.pack_stream(opened, batch_dims=1)
+        recheck = arith_hash.tree_hash(reflat, salts)    # open phase verify
+        ok = jnp.all(recheck == digests)
+        return opened, ok
+
+    def check_eq(self, value):
+        """Debug cross-party consistency assert on an opened value
+        (ref wire/macros.rs:10-38): in the stacked sim every party computes
+        from the same gathered stack, so equality is structural."""
+        return jnp.asarray(True)
 
     def gather_to_king(self, sh):
         """Star gather (ref multi.rs:175-216 send_to_king): king obtains the
@@ -157,30 +188,79 @@ class MeshNet:
         self.stats.bytes_recv += b * (self.n - 1)
         return jax.lax.all_gather(sh, self.axis, axis=0)
 
-    def atomic_gather(self, sh):
+    def atomic_gather(self, sh, tamper_fn=None):
+        """Real two-phase commit-then-open over the party axis
+        (ref channel.rs:50-75): salted algebraic digest of the local
+        payload, digest all_gather, payload all_gather, verify every
+        received payload against its committed digest.  Returns
+        (gathered (P, ...), ok_flag)."""
+        from ..algebra.field import FR
+        from ..utils import arith_hash
+
+        flat = arith_hash.pack_stream(sh, batch_dims=0)   # (M, L)
+        # public salts keyed by party index (binding, not hiding — hiding
+        # salts ride preprocessed randomness in a deployment)
+        salt = (
+            jax.lax.axis_index(self.axis).astype(jnp.uint32)
+            + jnp.zeros((FR.L,), jnp.uint32)
+        )
+        digest = arith_hash.tree_hash(flat, salt)
         self.stats.broadcasts += 2
-        b = _nbytes(sh) + 32
+        b = _nbytes(sh) + _nbytes(digest)
         self.stats.bytes_sent += b * (self.n - 1)
         self.stats.bytes_recv += b * (self.n - 1)
-        return jax.lax.all_gather(sh, self.axis, axis=0)
+        digests = jax.lax.all_gather(digest, self.axis, axis=0)   # commit
+        opened = jax.lax.all_gather(sh, self.axis, axis=0)        # open
+        if tamper_fn is not None:
+            opened = tamper_fn(opened)
+        salts = (
+            jnp.arange(self.n, dtype=jnp.uint32)[:, None]
+            + jnp.zeros((self.n, FR.L), jnp.uint32)
+        )
+        reflat = arith_hash.pack_stream(opened, batch_dims=1)
+        recheck = arith_hash.tree_hash(reflat, salts)
+        ok = jnp.all(recheck == digests)
+        return opened, ok
+
+    def check_eq(self, value):
+        """Debug cross-party consistency assert on an opened value
+        (ref wire/macros.rs:10-38 check_eq): broadcast and compare."""
+        g = jax.lax.all_gather(value, self.axis, axis=0)
+        return jnp.all(g == value[None])
 
     def gather_to_king(self, sh):
-        # SPMD: realized as an all_gather (every instance computes the king
-        # step redundantly — no divergent control flow on TPU); accounted as
-        # the star pattern.
+        """Star gather: ONLY the king receives the shares (non-king
+        parties receive zeros) — fixes the round-1 all_gather leak where
+        every party saw the degree-2t shares (ref multi.rs:175-216
+        send_to_king semantics)."""
         self.stats.to_king += 1
         b = _nbytes(sh)
         self.stats.bytes_sent += b
         self.stats.bytes_recv += b * (self.n - 1)
-        return jax.lax.all_gather(sh, self.axis, axis=0)
+        # party i contributes its share at destination-row 0 (the king)
+        # and zeros elsewhere; all_to_all delivers row j of each source to
+        # party j: the king gets every share, others get zeros.
+        expanded = jnp.zeros((self.n,) + sh.shape, sh.dtype).at[0].set(sh)
+        return jax.lax.all_to_all(
+            expanded, self.axis, split_axis=0, concat_axis=0
+        )
 
     def scatter_from_king(self, full):
+        """Star scatter: the king's rows are delivered one per party;
+        non-king parties' (zero) contributions are ignored."""
         self.stats.from_king += 1
         b = _nbytes(full) // self.n
         self.stats.bytes_sent += b * (self.n - 1)
         self.stats.bytes_recv += b
-        idx = jax.lax.axis_index(self.axis)
-        return jax.lax.dynamic_index_in_dim(full, idx, axis=0, keepdims=False)
+        contrib = jnp.where(
+            self.is_king(full.ndim), full, jnp.zeros_like(full)
+        )
+        out = jax.lax.all_to_all(
+            contrib, self.axis, split_axis=0, concat_axis=0
+        )
+        # every party received (P, ...) rows: row i is party i's
+        # contribution of OUR slot; only the king's (row 0) is real.
+        return out[0]
 
     def stack_public(self, pub):
         return pub  # replicated by construction

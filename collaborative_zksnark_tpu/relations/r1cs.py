@@ -85,22 +85,23 @@ class R1CS:
         """Pack padded rows into device gather matrices of `domain_size` rows."""
         a, b, c = self.padded_rows()
         assert len(a) <= domain_size
-        mats = []
-        for rows in (a, b, c):
-            k = max(1, max((len(r) for r in rows), default=1))
-            k = 1 << (k - 1).bit_length()
-            idx = np.zeros((domain_size, k), np.int32)
-            coeffs = [0] * (domain_size * k)
-            for r, row in enumerate(rows):
-                for j, (col, cf) in enumerate(row):
-                    idx[r, j] = col
-                    coeffs[r * k + j] = cf % C.R_MOD
-            Rint = 1 << (F.LIMB_BITS * FR.L)
-            mont = F.ints_to_limbs([v * Rint % C.R_MOD for v in coeffs], FR.L)
-            mats.append(
-                (jnp.asarray(idx), jnp.asarray(mont.reshape(domain_size, k, FR.L)))
-            )
-        return mats
+        return [pack_rows(rows, domain_size) for rows in (a, b, c)]
+
+
+def pack_rows(rows, domain_size: int):
+    """Pack sparse LC rows into (idx, coeff) device gather matrices
+    (`domain_size` rows; rows beyond len(rows) are zero)."""
+    k = max(1, max((len(r) for r in rows), default=1))
+    k = 1 << (k - 1).bit_length()
+    idx = np.zeros((domain_size, k), np.int32)
+    coeffs = [0] * (domain_size * k)
+    for r, row in enumerate(rows):
+        for j, (col, cf) in enumerate(row):
+            idx[r, j] = col
+            coeffs[r * k + j] = cf % C.R_MOD
+    Rint = 1 << (F.LIMB_BITS * FR.L)
+    mont = F.ints_to_limbs([v * Rint % C.R_MOD for v in coeffs], FR.L)
+    return (jnp.asarray(idx), jnp.asarray(mont.reshape(domain_size, k, FR.L)))
 
 
 def sparse_matvec(mat, z):

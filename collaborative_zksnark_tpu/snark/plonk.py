@@ -126,15 +126,20 @@ class Prover:
         self.pk = pk
         self.fs = fsmod.FiatShamir()
 
-    # commit + publicize + absorb (ref lib.rs:371-402)
-    def _commit(self, coeffs_sh) -> tuple:
-        cmt = kzg.commit_and_reveal(self.scheme, self.pk.srs, coeffs_sh)
-        self.fs.absorb(fsmod.g1_to_bytes(cmt))
-        return cmt
+    # commit + publicize + absorb (ref lib.rs:371-402).  Witness-derived
+    # polynomials get HIDING commitments (blinding polys over the gamma
+    # powers, ref kzg10/mod.rs:141-166 hiding_bound) so their openings are
+    # zero-knowledge; hb = number of openings of that polynomial.
+    def _commit(self, coeffs_sh, hb: int = 1):
+        cmt, rand = kzg.commit_labeled(
+            self.scheme, self.pk.srs, coeffs_sh, hiding_bound=hb
+        )
+        self.fs.absorb(fsmod.g1_to_bytes(cmt.comm))
+        return cmt.comm, rand
 
     # open + publicize y (ref lib.rs:343-366)
-    def _open(self, coeffs_sh, x: int) -> Open:
-        return kzg.open_share(self.scheme, self.pk.srs, coeffs_sh, x)
+    def _open(self, coeffs_sh, x: int, rand=None) -> Open:
+        return kzg.open_share(self.scheme, self.pk.srs, coeffs_sh, x, rand=rand)
 
     def _open_public(self, coeffs_pub, x: int) -> Open:
         return kzg.open_share(LocalScheme(), self.pk.srs, coeffs_pub, x)
@@ -150,7 +155,7 @@ class Prover:
 
         p_evals = lay.p_evals_from_values(sch, values_sh)
         p_coeffs = sch.lin_map(lambda a: _vifft(wires, a), p_evals)
-        p_cmt = self._commit(p_coeffs)
+        p_cmt, self._p_rand = self._commit(p_coeffs, hb=6)
 
         public = self._prove_public(p_coeffs, public_values)
         gatespf = self._prove_gates(p_coeffs)
@@ -187,10 +192,10 @@ class Prover:
         diff = self.scheme.shift(p_cos, F.neg(FR, v_cos_pub))
         num_cos = self.scheme.scale(diff, z_cos_inv)
         q_coeffs = self.scheme.lin_map(lambda a: _vcoset_ifft(wires, a), num_cos)
-        q_cmt = self._commit(q_coeffs)
+        q_cmt, q_rand = self._commit(q_coeffs)
         x = self.fs.gen_fr()
-        q_open = self._open(q_coeffs, x)
-        p_open = self._open(p_coeffs, x)
+        q_open = self._open(q_coeffs, x, q_rand)
+        p_open = self._open(p_coeffs, x, self._p_rand)
         return {"q_cmt": q_cmt, "q_open": q_open, "p_open": p_open, "x": x}
 
     # -- gate constraints (ref lib.rs:295-338) -----------------------------
@@ -234,13 +239,13 @@ class Prover:
         q_coeffs = sch.lin_map(
             lambda a: _vcoset_ifft(big, a)[..., : 6 * n, :], q8
         )
-        q_cmt = self._commit(q_coeffs)
+        q_cmt, q_rand = self._commit(q_coeffs)
         x = self.fs.gen_fr()
         s_open = self._open_public(lay.s_coeffs, x)
-        p_open = self._open(p_coeffs, x)
-        q_open = self._open(q_coeffs, x)
-        p_w_open = self._open(p_coeffs, eta * x % P)
-        p_w2_open = self._open(p_coeffs, eta * eta % P * x % P)
+        p_open = self._open(p_coeffs, x, self._p_rand)
+        q_open = self._open(q_coeffs, x, q_rand)
+        p_w_open = self._open(p_coeffs, eta * x % P, self._p_rand)
+        p_w2_open = self._open(p_coeffs, eta * eta % P * x % P, self._p_rand)
         return {
             "q_cmt": q_cmt,
             "s_open": s_open,
@@ -272,8 +277,8 @@ class Prover:
 
         l1_evals = sch.div(num_evals, den_evals)   # [NETWORK: batched]
         l1_coeffs = sch.lin_map(lambda a: _vifft(wires, a), l1_evals)
-        l1_cmt = self._commit(l1_coeffs)
-        prod_pf = self._prove_unit_product(l1_coeffs, l1_evals)
+        l1_cmt, l1_rand = self._commit(l1_coeffs, hb=2)
+        prod_pf = self._prove_unit_product(l1_coeffs, l1_evals, l1_rand)
 
         # l2: q2 = (l1*den - num)/Z_wires on the wires coset; deg q2 <=
         # 3n-2 < 3n so interpolation is exact (values of l1*den at coset
@@ -293,12 +298,12 @@ class Prover:
         zw_inv_const = _coset_vanishing_inv(K)
         q2_cos = sch.lin_map(lambda a: F.mul(FR, a, zw_inv_const[None]), diff)
         q2_coeffs = sch.lin_map(lambda a: _vcoset_ifft(wires, a), q2_cos)
-        q2_cmt = self._commit(q2_coeffs)
+        q2_cmt, q2_rand = self._commit(q2_coeffs)
         x = self.fs.gen_fr()
-        q2_open = self._open(q2_coeffs, x)
+        q2_open = self._open(q2_coeffs, x, q2_rand)
         w_open = self._open_public(lay.w_coeffs, x)
-        l1_open = self._open(l1_coeffs, x)
-        p_open = self._open(p_coeffs, x)
+        l1_open = self._open(l1_coeffs, x, l1_rand)
+        p_open = self._open(p_coeffs, x, self._p_rand)
         return {
             "y": y,
             "z": z,
@@ -313,7 +318,7 @@ class Prover:
         }
 
     # -- grand-product argument (ref lib.rs:110-196 prove_unit_product) ----
-    def _prove_unit_product(self, f_coeffs, f_evals):
+    def _prove_unit_product(self, f_coeffs, f_evals, f_rand):
         sch = self.scheme
         lay = self.pk.layout
         wires = lay.wires_domain
@@ -321,7 +326,7 @@ class Prover:
         eta = wires.omega
         t_evals = sch.partial_products(f_evals)    # [NETWORK: masked rounds]
         t_coeffs = sch.lin_map(lambda a: _vifft(wires, a), t_evals)
-        t_cmt = self._commit(t_coeffs)
+        t_cmt, t_rand = self._commit(t_coeffs, hb=3)
         # q = (t(eta X) - t(X) f(eta X)) / Z_wires on the coset;
         # deg q <= 3n-2 < 3n -> exact.
         tw_coeffs = sch.lin_map(lambda a: _distribute_powers(a, eta), t_coeffs)
@@ -334,13 +339,13 @@ class Prover:
         zw_inv_const = _coset_vanishing_inv(K)
         q_cos = sch.lin_map(lambda a: F.mul(FR, a, zw_inv_const[None]), diff)
         q_coeffs = sch.lin_map(lambda a: _vcoset_ifft(wires, a), q_cos)
-        q_cmt = self._commit(q_coeffs)
+        q_cmt, q_rand = self._commit(q_coeffs)
         r = self.fs.gen_fr()
-        t_wr_open = self._open(t_coeffs, eta * r % P)
-        t_r_open = self._open(t_coeffs, r)
-        t_wk_open = self._open(t_coeffs, pow(eta, K - 1, P))
-        f_wr_open = self._open(f_coeffs, eta * r % P)
-        q_r_open = self._open(q_coeffs, r)
+        t_wr_open = self._open(t_coeffs, eta * r % P, t_rand)
+        t_r_open = self._open(t_coeffs, r, t_rand)
+        t_wk_open = self._open(t_coeffs, pow(eta, K - 1, P), t_rand)
+        f_wr_open = self._open(f_coeffs, eta * r % P, f_rand)
+        q_r_open = self._open(q_coeffs, r, q_rand)
         return {
             "t_cmt": t_cmt,
             "q_cmt": q_cmt,

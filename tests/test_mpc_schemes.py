@@ -68,6 +68,39 @@ def test_malicious_abort(name, n):
         ctx.assert_checks()
 
 
+@pytest.mark.parametrize("n", [3, 4])
+def test_gsz_cheating_multiplication_aborts(n):
+    """An INCONSISTENT multiplication triple (z != x*y) must be caught by
+    the deferred hadamard -> ip_check pipeline at the next reveal
+    (ref gsz20/mod.rs:599-787 Protocols 12-15)."""
+    ctx, sch = _mk("gsz", n)
+    xs = [3, 4, 5, 6]
+    sh = sch.king_share(F.FR.to_device(xs))
+    z = sch.mul(sh, sh)  # queues the genuine triple
+    # tamper: replace the queued product share with z+1 (a cheating king /
+    # corrupted result) — x*y != z now
+    x_q, y_q, z_q = sch.triple_queue.pop()
+    one = sch.from_public(sch.ones_public(z_q.shape[1:-1]))
+    sch.triple_queue.append((x_q, y_q, sch.add(z_q, one)))
+    sch.reveal(sh)  # drains the queue through the ip pipeline
+    with pytest.raises(MpcCheckError):
+        ctx.assert_checks()
+
+
+@pytest.mark.parametrize("n", [3, 4])
+def test_gsz_honest_pipeline_passes(n):
+    """The same pipeline accepts honest multiplications (incl. odd-length
+    queues exercising the padding in the halving loop)."""
+    ctx, sch = _mk("gsz", n)
+    xs = [3, 4, 5]
+    sh = sch.king_share(F.FR.to_device(xs))
+    z = sch.mul(sh, sh)
+    z2 = sch.mul(z, sh)
+    got = [int(v) for v in F.FR.to_host(sch.reveal(z2))]
+    assert got == [pow(x, 3, P) for x in xs]
+    ctx.assert_checks()
+
+
 @pytest.mark.parametrize("name,n", [("hbc", 2), ("spdz", 2), ("gsz", 3)])
 def test_group_protocols(name, n):
     ctx, sch = _mk(name, n)
