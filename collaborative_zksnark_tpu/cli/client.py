@@ -6,8 +6,12 @@ recomputation.
     python -m collaborative_zksnark_tpu.cli.client <computation> \
         --alg {hbc,spdz,gsz} --parties K --size N
 
-Computations: sum, product, pproduct, inv, dh, groupops, msm, fft, polydiv,
-kzg, groth16, plonk.
+Computations (every one named here is implemented; ref client.rs:34-63):
+  field:    sum, product, pproduct, inv, fft, polydiv
+  group:    dh, groupops, msm
+  pairing:  pairingdh, pairingprod, pairingdiv        (hbc/spdz GT shares)
+  poly-commit: kzg, kzgzk, kzgzkbatch, marlinpc, marlinpcbatch
+  snark:    groth16, plonk, marlin
 """
 
 from __future__ import annotations
@@ -128,6 +132,181 @@ def main(argv=None):
         assert kzgmod.host_verify(srs, cmt, xpt, y, pf)
         exp = sum(c * pow(xpt, i, P) for i, c in enumerate(xs)) % P
         check(y, exp, "kzg commit/open/verify")
+    elif comp == "kzgzk":
+        # hiding commitment + zk opening (ref client.rs KzgZk)
+        from ..snark import kzg as kzgmod
+
+        srs = kzgmod.setup(args.size + 4, seed=args.seed + 1, hiding=True)
+        cm, rand = kzgmod.commit_labeled(sch, srs, sh, hiding_bound=2)
+        xpt = int.from_bytes(rng.bytes(40), "little") % P
+        y, pf = kzgmod.open_share(sch, srs, sh, xpt, rand=rand)
+        assert pf.random_v is not None, "zk opening must carry random_v"
+        assert kzgmod.host_verify(srs, cm.comm, xpt, y, pf)
+        exp = sum(c * pow(xpt, i, P) for i, c in enumerate(xs)) % P
+        check(y, exp, "kzgzk hiding commit/open/verify")
+    elif comp == "kzgzkbatch":
+        # two hiding commits, two openings, ONE batched pairing check
+        # (ref client.rs KzgZkBatch -> kzg10 batch_check)
+        from ..snark import kzg as kzgmod
+
+        srs = kzgmod.setup(args.size + 4, seed=args.seed + 1, hiding=True)
+        ys = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(args.size)]
+        sh2 = sch.king_share(F.FR.to_device(ys))
+        checks = []
+        for coeffs, shx in ((xs, sh), (ys, sh2)):
+            cm, rand = kzgmod.commit_labeled(sch, srs, shx, hiding_bound=2)
+            xpt = int.from_bytes(rng.bytes(40), "little") % P
+            y, pf = kzgmod.open_share(sch, srs, shx, xpt, rand=rand)
+            exp = sum(c * pow(xpt, i, P) for i, c in enumerate(coeffs)) % P
+            assert y == exp
+            checks.append((cm.comm, xpt, y, pf))
+        assert kzgmod.batch_check(srs, checks, seed=args.seed)
+        check(True, True, "kzgzkbatch")
+    elif comp in ("marlinpc", "marlinpcbatch"):
+        # MarlinKZG10: degree-bound + hiding commit, combined opening with
+        # opening challenges (ref client.rs MarlinPc / MarlinPcBatch)
+        from ..snark import kzg as kzgmod
+
+        srs = kzgmod.setup(args.size + 6, seed=args.seed + 1, hiding=True)
+        dbound = args.size + 2
+        labeled = []
+        items = []
+        polys = [(xs, sh)]
+        if comp == "marlinpcbatch":
+            ys = [
+                int.from_bytes(rng.bytes(40), "little") % P
+                for _ in range(args.size)
+            ]
+            polys.append((ys, sch.king_share(F.FR.to_device(ys))))
+        xpt = int.from_bytes(rng.bytes(40), "little") % P
+        for coeffs, shx in polys:
+            cm, rand = kzgmod.commit_labeled(
+                sch, srs, shx, hiding_bound=2, degree_bound=dbound
+            )
+            y = sum(c * pow(xpt, i, P) for i, c in enumerate(coeffs)) % P
+            labeled.append((shx, rand, dbound))
+            items.append((cm, y))
+        opening_challenge = int.from_bytes(rng.bytes(16), "little")
+        pf = kzgmod.open_combined(sch, srs, labeled, xpt, opening_challenge)
+        assert kzgmod.check_combined(srs, items, xpt, pf, opening_challenge)
+        check(True, True, comp)
+    elif comp == "groupops":
+        # ((g*a + g - g) * 4 == g * (4a) (ref client.rs GroupOps)
+        a_sh = sch.lin_map(lambda t: t[..., 0, :], sh)
+        gen = cv.g1_from_host([H.G1_GEN])
+        gen1 = cv.JacPoint(gen.x[0], gen.y[0], gen.z[0])
+        ga = sch.g_from_scalar_mul(cv.FQ_OPS, gen1, a_sh)
+        gshift = sch.g_shift(cv.FQ_OPS, ga, gen1)
+        gsub = sch.g_shift(cv.FQ_OPS, gshift, cv.point_neg(cv.FQ_OPS, gen1))
+        # * 4 == two share-local doublings (scale by a public int)
+        r1_sh = sch.g_add(cv.FQ_OPS, gsub, gsub)
+        r1_sh = sch.g_add(cv.FQ_OPS, r1_sh, r1_sh)
+        r1 = sch.g_reveal(cv.FQ_OPS, r1_sh)
+        got = cv.g1_to_host(cv.JacPoint(r1.x[None], r1.y[None], r1.z[None]))[0]
+        check(got, H.G1.scalar_mul(H.G1_GEN, 4 * xs[0] % P), "groupops")
+    elif comp == "polydiv":
+        # shared p(X) divided by public (X + 1) (ref client.rs PolyDiv)
+        from ..snark import poly_share as ps
+
+        q_sh, r_sh = ps.univariate_div_qr(sch, sh, [1, 1])
+        q = [int(v) for v in F.FR.to_host(sch.reveal(q_sh))]
+        r = [int(v) for v in F.FR.to_host(sch.reveal(r_sh))]
+        # host long division
+        c = [x % P for x in xs]
+        qh = [0] * (len(c) - 1)
+        for i in range(len(c) - 2, -1, -1):
+            qh[i] = c[i + 1]
+            c[i] = (c[i] - qh[i]) % P
+            c[i + 1] = 0
+        check(q, qh, "polydiv quotient")
+        check(r[0], c[0], "polydiv remainder")
+    elif comp in ("pairingdh", "pairingprod", "pairingdiv"):
+        from ..mpc import pairing_share as pgs
+
+        if args.alg not in ("hbc", "spdz"):
+            raise SystemExit(f"{comp} supports hbc/spdz (GT mult shares)")
+        gen1h, gen2h = H.G1_GEN, H.G2_GEN
+        g1d = cv.g1_from_host([gen1h])
+        g2d = cv.g2_from_host([gen2h])
+        g1 = cv.JacPoint(g1d.x[0], g1d.y[0], g1d.z[0])
+        g2 = cv.JacPoint(g2d.x[0], g2d.y[0], g2d.z[0])
+
+        def pair_shared(u, v):
+            us = sch.g_from_scalar_mul(
+                cv.FQ_OPS, g1, sch.lin_map(lambda t: t[..., u, :], sh)
+            )
+            vs = sch.g_from_scalar_mul(
+                cv.FQ2_OPS, g2, sch.lin_map(lambda t: t[..., v, :], sh)
+            )
+            return pgs.pairing_shared(sch, us, vs)
+
+        def host_pair(u, v):
+            return H.pairing(
+                H.G1.scalar_mul(gen1h, xs[u]), H.G2.scalar_mul(gen2h, xs[v])
+            )
+
+        if comp == "pairingdh":
+            got = pgs.gt_reveal(sch, pair_shared(0, 1))
+            check(got == host_pair(0, 1), True, "pairingdh")
+        elif comp == "pairingprod":
+            lhs = pgs.gt_mul(pair_shared(0, 2), pair_shared(1, 2))
+            rhs = H.fq12_mul(host_pair(0, 2), host_pair(1, 2))
+            check(pgs.gt_reveal(sch, lhs) == rhs, True, "pairingprod")
+        else:
+            lhs = pgs.gt_div(pair_shared(0, 2), pair_shared(1, 2))
+            rhs = H.fq12_mul(host_pair(0, 2), H.fq12_inv(host_pair(1, 2)))
+            check(pgs.gt_reveal(sch, lhs) == rhs, True, "pairingdiv")
+    elif comp == "groth16":
+        from ..relations import r1cs as r1csmod
+        from ..snark import groth16
+
+        cs, assign = r1csmod.squaring_circuit(max(args.size, 2))
+        pk, vk = groth16.setup(cs, seed=args.seed + 1)
+        inst, wit = assign(3)
+        if args.alg == "local":
+            proof = groth16.prove(
+                pk, cs, F.FR.to_device(inst + wit), ctx.rand_fr(()), ctx.rand_fr(())
+            )
+        else:
+            z_sh = sch.king_share(F.FR.to_device(inst + wit))
+            proof = groth16.prove_mpc(
+                pk, cs, sch, z_sh, wire.rand_share(sch), wire.rand_share(sch)
+            )
+        hp = groth16.reveal_proof(proof)
+        check(groth16.verify(vk, hp, inst[1:]), True, "groth16")
+    elif comp == "plonk":
+        from ..relations.plonk_circuit import CircuitLayout, PlonkCircuit
+        from ..snark import plonk as plonkmod
+
+        circ = PlonkCircuit.squaring(max(args.size, 2), start=3)
+        layout = CircuitLayout.from_circuit(circ)
+        srs = plonkmod.universal_setup(layout.n_gates, seed=args.seed + 1)
+        pk, vk = plonkmod.circuit_setup(srs, layout)
+        out = next(
+            circ.values[v] for v, nm in circ.pub_vars.items() if nm == "out"
+        )
+        if args.alg == "local":
+            vals_in = F.FR.to_device(circ.values)
+        else:
+            vals_in = sch.king_share(F.FR.to_device(circ.values))
+        pf = plonkmod.Prover(sch, pk).prove(vals_in, {"out": out})
+        check(plonkmod.verify(vk, pf, {"out": out}), True, "plonk")
+    elif comp == "marlin":
+        from ..relations import r1cs as r1csmod
+        from ..snark import marlin as marlinmod
+
+        cs, assign = r1csmod.squaring_circuit(max(args.size, 2))
+        srs = marlinmod.universal_setup(
+            marlinmod.max_degree_for(cs), seed=args.seed + 1
+        )
+        pk, vk = marlinmod.index(cs, srs)
+        inst, wit = assign(3)
+        if args.alg == "local":
+            wit_in = F.FR.to_device(wit)
+        else:
+            wit_in = sch.king_share(F.FR.to_device(wit))
+        pf = marlinmod.prove(pk, sch, inst, wit_in)
+        check(marlinmod.verify(vk, inst[1:], pf), True, "marlin")
     else:
         raise SystemExit(f"unknown computation {comp}")
 
