@@ -119,3 +119,36 @@ def test_group_protocols(name, n):
         == H.G1.scalar_mul(p1, k2)
     )
     ctx.assert_checks()
+
+
+def test_atomic_broadcast_post_commit_substitution_aborts():
+    """A party substituting its payload AFTER the commitment round must be
+    caught by the commit-then-open verification (ref channel.rs:50-75
+    atomic_broadcast: exchanged payloads are checked against the committed
+    digests)."""
+    ctx, sch = _mk("spdz", 2)
+    xs = [5, 6, 7, 8]
+    sh = sch.king_share(F.FR.to_device(xs))
+    d = F.sub(F.FR, sch._alpha_times(sch.base.reveal(sh.sh)), sh.mac)
+
+    def tamper(payload):
+        # party 1 swaps in a different (still well-formed) value post-commit
+        return payload.at[1, 0, 0].add(1)
+
+    _, ok = ctx.net.atomic_gather(d, tamper_fn=tamper)
+    assert not bool(np.asarray(ok))
+    # untampered run verifies
+    _, ok2 = ctx.net.atomic_gather(d)
+    assert bool(np.asarray(ok2))
+
+
+def test_check_eq_debug_reveal():
+    """ctx.debug wires the cross-party check_eq assert into every reveal
+    (ref wire/macros.rs:10-38)."""
+    net = StackedNet(2)
+    ctx = MpcContext(net, seed=11, debug=True)
+    sch = wire.make_scheme("hbc", ctx)
+    sh = sch.king_share(F.FR.to_device([4, 5]))
+    got = [int(v) for v in F.FR.to_host(sch.reveal(sh))]
+    assert got == [4, 5]
+    ctx.assert_checks()  # check_eq entries queued and all true
