@@ -76,8 +76,8 @@ class Radix2Domain:
             raise NotImplementedError("only Fr domains are used by the SNARKs")
         self.omega = omega
         self.omega_inv = pow(omega, p - 2, p)
-        self.n_inv_mont = jnp.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
-        self._perm = jnp.asarray(_bit_reverse_perm(n))
+        self.n_inv_mont = np.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
+        self._perm = np.asarray(_bit_reverse_perm(n))
         # stage twiddle tables: stage s (1-indexed) has half-block 2^(s-1)
         # twiddles [w^0 .. w^(h-1)] with w = omega^(n / 2^s).
         self._tw_fwd = self._stage_twiddles(omega)
@@ -95,7 +95,7 @@ class Radix2Domain:
         for s in range(1, self.log_n + 1):
             h = 1 << (s - 1)
             w = pow(omega, self.n >> s, p)
-            tws.append(jnp.asarray(_to_mont_limbs(self.spec, _pow_table(w, h, p))))
+            tws.append(np.asarray(_to_mont_limbs(self.spec, _pow_table(w, h, p))))
         return tws
 
     def elements(self) -> list[int]:
@@ -134,12 +134,12 @@ class Radix2Domain:
     @functools.cached_property
     def _coset_g(self):
         g = C.FR_GENERATOR
-        return jnp.asarray(_to_mont_limbs(self.spec, _pow_table(g, self.n, self.spec.p)))
+        return np.asarray(_to_mont_limbs(self.spec, _pow_table(g, self.n, self.spec.p)))
 
     @functools.cached_property
     def _coset_g_inv(self):
         ginv = pow(C.FR_GENERATOR, self.spec.p - 2, self.spec.p)
-        return jnp.asarray(
+        return np.asarray(
             _to_mont_limbs(self.spec, _pow_table(ginv, self.n, self.spec.p))
         )
 
@@ -162,7 +162,7 @@ class Radix2Domain:
         (ref: domain/mod.rs evaluate_vanishing_polynomial over cosets)."""
         p = self.spec.p
         val = (pow(C.FR_GENERATOR, self.n, p) - 1) % p
-        return jnp.asarray(_to_mont_limbs(self.spec, [pow(val, p - 2, p)])[0])
+        return np.asarray(_to_mont_limbs(self.spec, [pow(val, p - 2, p)])[0])
 
 
 class MixedRadixDomain:
@@ -189,7 +189,7 @@ class MixedRadixDomain:
         assert pow(omega, n, p) == 1 and pow(omega, n // 3, p) != 1
         self.omega = omega
         self.omega_inv = pow(omega, p - 2, p)
-        self.n_inv_mont = jnp.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
+        self.n_inv_mont = np.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
         self.sub = Radix2Domain(spec, m)
         # the sub-domain generator must equal omega^3
         assert self.sub.omega == pow(omega, 3, p)
@@ -207,7 +207,7 @@ class MixedRadixDomain:
         # tw[r] = [omega^(r*k0) for k0 < M], r = 0,1,2
         p = self.spec.p
         return [
-            jnp.asarray(
+            np.asarray(
                 _to_mont_limbs(self.spec, _pow_table(pow(omega, r, p), self.m, p))
             )
             for r in range(3)
@@ -216,8 +216,8 @@ class MixedRadixDomain:
     def _dft3_consts(self, w3: int):
         p = self.spec.p
         return (
-            jnp.asarray(_to_mont_limbs(self.spec, [w3])[0]),
-            jnp.asarray(_to_mont_limbs(self.spec, [w3 * w3 % p])[0]),
+            np.asarray(_to_mont_limbs(self.spec, [w3])[0]),
+            np.asarray(_to_mont_limbs(self.spec, [w3 * w3 % p])[0]),
         )
 
     def elements(self) -> list[int]:
@@ -259,14 +259,14 @@ class MixedRadixDomain:
 
     @functools.cached_property
     def _coset_g(self):
-        return jnp.asarray(
+        return np.asarray(
             _to_mont_limbs(self.spec, _pow_table(C.FR_GENERATOR, self.n, self.spec.p))
         )
 
     @functools.cached_property
     def _coset_g_inv(self):
         ginv = pow(C.FR_GENERATOR, self.spec.p - 2, self.spec.p)
-        return jnp.asarray(
+        return np.asarray(
             _to_mont_limbs(self.spec, _pow_table(ginv, self.n, self.spec.p))
         )
 
