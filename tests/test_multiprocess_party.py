@@ -1,0 +1,60 @@
+"""True multi-process party deployment: N OS processes, cross-process
+collectives (the analog of the reference's TCP-mesh integration tests,
+ref mpc-net/src/multi.rs:73-141 + mpc-snarks test.zsh 2-party runs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_parties(n, alg, comp="product", port=12460):
+    hosts = os.path.join("/tmp", f"cz_hosts_{n}_{alg}.json")
+    with open(hosts, "w") as f:
+        json.dump({"coordinator": f"127.0.0.1:{port}", "parties": n}, f)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # parties use ONE device per process
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "collaborative_zksnark_tpu.cli.party",
+                comp,
+                "--hosts",
+                hosts,
+                "--party",
+                str(i),
+                "--alg",
+                alg,
+                "--size",
+                "4",
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(n)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"party {i} failed:\n{out[-2000:]}"
+        assert f"party {i}/{n} [{alg}] {comp}: OK" in out
+    return outs
+
+
+@pytest.mark.parametrize(
+    "n,alg,port",
+    [(2, "hbc", 12461), (2, "spdz", 12462), (3, "gsz", 12463)],
+)
+def test_multiprocess_parties(n, alg, port):
+    outs = _run_parties(n, alg, port=port)
+    # per-party stats printed at teardown
+    assert any("stats:" in o for o in outs)
