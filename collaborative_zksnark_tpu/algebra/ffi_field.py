@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 _NAMES = ("cz_mul_fr", "cz_add_fr", "cz_sub_fr",
-          "cz_mul_fq", "cz_add_fq", "cz_sub_fq")
+          "cz_mul_fq", "cz_add_fq", "cz_sub_fq",
+          "cz_msm_g1", "cz_msm_g2")
 
 HAVE_FFI = False
 
@@ -58,6 +59,18 @@ if os.environ.get("CZTPU_FFI", "1") != "0":
         HAVE_FFI = True
     except Exception:
         HAVE_FFI = False
+
+
+def msm(g2: bool, px, py, pz, scalars):
+    """Native Pippenger MSM: Jacobian limb points (N, [2,] L) + Montgomery
+    Fr scalars (N, 16) -> one Jacobian point ([2,] L).  CPU-only."""
+    coord_shape = (2, 24) if g2 else (24,)
+    outs = jax.ffi.ffi_call(
+        "cz_msm_g2" if g2 else "cz_msm_g1",
+        [jax.ShapeDtypeStruct(coord_shape, jnp.uint32)] * 3,
+        vmap_method="sequential",
+    )(px, py, pz, scalars)
+    return outs
 
 
 def binop(name_suffix: str, op: str, a, b):

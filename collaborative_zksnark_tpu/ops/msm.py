@@ -277,8 +277,17 @@ def _bitserial_kernel(fld):
 
 
 def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
-    """Dispatcher: Pippenger with a size-tuned window, bit-serial for tiny N.
-    Inputs are padded to a power of two for compile-cache reuse."""
+    """Dispatcher: native CPU Pippenger (FFI) on the CPU backend; the
+    vector-machine sort/scan Pippenger (with a size-tuned window) on TPU;
+    bit-serial for tiny N.  Inputs are padded to a power of two for
+    compile-cache reuse on the kernel paths."""
+    from ..algebra import ffi_field
+
+    if ffi_field.HAVE_FFI and jax.default_backend() == "cpu":
+        ox, oy, oz = ffi_field.msm(
+            fld is FQ2_OPS, points.x, points.y, points.z, scalars_mont
+        )
+        return JacPoint(ox, oy, oz)
     points, scalars_mont = _pad_pow2(fld, points, scalars_mont)
     n = points.x.shape[0]
     if n <= 16:
