@@ -307,6 +307,27 @@ def main(argv=None):
             wit_in = sch.king_share(F.FR.to_device(wit))
         pf = marlinmod.prove(pk, sch, inst, wit_in)
         check(marlinmod.verify(vk, inst[1:], pf), True, "marlin")
+    elif comp == "merkle":
+        # 2-party Merkle vector commitment over share hashes
+        # (ref com.rs:37-123 + client.rs:722-738)
+        from ..mpc import com as commod
+        from ..utils import fs as fsmod
+
+        key, cm = commod.commit(sch, sh)
+        t = fsmod.FiatShamir(b"merkle")
+        for root in cm:
+            t.absorb(root)
+        i = t.gen_fr() % args.size
+        value, pf = commod.open_at(sch, sh, key, i)
+        assert commod.check_opening(cm, pf, i, value)
+        check(value, xs[i], "merkle commit/open/verify")
+    elif comp == "fri":
+        # FRI low-degree test over shares (ref client.rs:739-841)
+        from ..mpc import com as commod
+
+        rounds, alphas, const, t = commod.fri_commit(sch, sh)
+        assert commod.fri_chain_check(sch, rounds, alphas, const, t)
+        check(True, True, "fri commit + chain check")
     else:
         raise SystemExit(f"unknown computation {comp}")
 
