@@ -86,14 +86,18 @@ def msm_bitserial(fld, points: JacPoint, scalars_mont) -> JacPoint:
 
 def _window_digits(sc_std, c: int, n_windows: int):
     """(N, L) standard-form limbs -> (n_windows, N) int32 digits of c bits.
-    Supports c in {1,2,4,8,16} (divisors of the limb width)."""
-    assert F.LIMB_BITS % c == 0
-    per = F.LIMB_BITS // c
+    Windows may straddle limb boundaries (any c <= 16)."""
+    L = sc_std.shape[1]
+    mask = (1 << c) - 1
     digs = []
     for w in range(n_windows):
-        limb = sc_std[:, w // per]
-        sh = (w % per) * c
-        digs.append(((limb >> sh) & ((1 << c) - 1)).astype(jnp.int32))
+        bit_lo = w * c
+        li = bit_lo // F.LIMB_BITS
+        off = bit_lo % F.LIMB_BITS
+        val = sc_std[:, li] >> off
+        if off + c > F.LIMB_BITS and li + 1 < L:
+            val = val | (sc_std[:, li + 1] << (F.LIMB_BITS - off))
+        digs.append((val & mask).astype(jnp.int32))
     return jnp.stack(digs, axis=0)
 
 

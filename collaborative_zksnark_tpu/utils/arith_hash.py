@@ -46,7 +46,9 @@ def _params():
         rounds += 1
     rng = np.random.default_rng(0x4D694D43)  # fixed public constants
     consts = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(rounds)]
-    return d, rounds, FR.to_device(consts)
+    Rint = 1 << (F.LIMB_BITS * FR.L)
+    mont = F.ints_to_limbs([v * Rint % P for v in consts], FR.L)
+    return d, rounds, mont  # numpy (host) — safe to cache across traces
 
 
 def _pow_d(x, d: int):
@@ -87,12 +89,7 @@ def pack_stream(raw, batch_dims: int = 0):
     return jnp.pad(els, [(0, 0)] * (len(lead) + 1) + [(0, FR.L - 8)])
 
 
-def tree_hash(vec, salt):
-    """One Fr digest of a (..., N, L) payload with a leading (..., L) salt.
-
-    Binary-tree fold (log2 N batched compressions), then a final
-    compression with the salt — the 32-byte-salt commit of the reference
-    (channel.rs:56-58) in algebraic form."""
+def _tree_hash_impl(vec, salt):
     x = vec
     n = x.shape[-2]
     while n > 1:
@@ -105,3 +102,23 @@ def tree_hash(vec, salt):
         x = mimc_compress(x[..., 0::2, :], x[..., 1::2, :])
         n = h
     return mimc_compress(x[..., 0, :], salt)
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_hash_jit(shape_v, shape_s):
+    return jax.jit(_tree_hash_impl)
+
+
+def tree_hash(vec, salt):
+    """One Fr digest of a (..., N, L) payload with a leading (..., L) salt.
+
+    Binary-tree fold (log2 N batched compressions), then a final
+    compression with the salt — the 32-byte-salt commit of the reference
+    (channel.rs:56-58) in algebraic form.
+
+    Eager call sites run a shape-cached jitted tree (the ~log2(N) x 74-round
+    MiMC pipeline is thousands of ops — per-op dispatch made SPDZ's atomic
+    broadcast the dominant prover cost); traced call sites inline."""
+    if isinstance(vec, jax.core.Tracer) or isinstance(salt, jax.core.Tracer):
+        return _tree_hash_impl(vec, salt)
+    return _tree_hash_jit(vec.shape, salt.shape)(vec, salt)
