@@ -128,6 +128,37 @@ class StackedNet:
         from the same gathered stack, so equality is structural."""
         return jnp.asarray(True)
 
+    def exchange(self, sh):
+        """2-party duplex exchange (ref mpc-net/src/two.rs:239-319
+        exchange_bytes; channel.rs:95-125): each party sends its value and
+        receives the peer's.  Stacked: swap the two party rows."""
+        assert self.n == 2, "exchange is the 2-party primitive"
+        self.stats.broadcasts += 1
+        b = _nbytes(sh) // 2
+        self.stats.bytes_sent += b
+        self.stats.bytes_recv += b
+        return jnp.flip(sh, axis=0)
+
+    def atomic_exchange(self, sh, tamper_fn=None):
+        """Commit-then-open duplex exchange (ref channel.rs:106-125
+        atomic_exchange): digest exchange, payload exchange, verify."""
+        from ..algebra.field import FR
+        from ..utils import arith_hash
+
+        flat = arith_hash.pack_stream(sh, batch_dims=1)
+        salts = jnp.zeros((2, FR.L), jnp.uint32)
+        digests = arith_hash.tree_hash(flat, salts)
+        self.stats.broadcasts += 1
+        b = _nbytes(sh) // 2 + _nbytes(digests) // 2
+        self.stats.bytes_sent += b
+        self.stats.bytes_recv += b
+        opened = self.exchange(sh)
+        if tamper_fn is not None:
+            opened = tamper_fn(opened)
+        reflat = arith_hash.pack_stream(jnp.flip(opened, axis=0), batch_dims=1)
+        recheck = arith_hash.tree_hash(reflat, salts)
+        return opened, jnp.all(recheck == digests)
+
     def gather_to_king(self, sh):
         """Star gather (ref multi.rs:175-216 send_to_king): king obtains the
         full (P, ...) stack; other parties obtain nothing (stacked sim:
@@ -227,6 +258,15 @@ class MeshNet:
         (ref wire/macros.rs:10-38 check_eq): broadcast and compare."""
         g = jax.lax.all_gather(value, self.axis, axis=0)
         return jnp.all(g == value[None])
+
+    def exchange(self, sh):
+        """2-party duplex exchange (ref two.rs:239-319): ppermute swap."""
+        assert self.n == 2, "exchange is the 2-party primitive"
+        self.stats.broadcasts += 1
+        b = _nbytes(sh)
+        self.stats.bytes_sent += b
+        self.stats.bytes_recv += b
+        return jax.lax.ppermute(sh, self.axis, perm=[(0, 1), (1, 0)])
 
     def gather_to_king(self, sh):
         """Star gather: ONLY the king receives the shares (non-king
