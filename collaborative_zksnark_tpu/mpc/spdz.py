@@ -74,10 +74,33 @@ class SpdzScheme:
     # ---------------- open + MAC check ----------------
     def reveal(self, x: SpdzShare):
         val = self.base.reveal(x.sh)
-        # MAC check: d_i = alpha_i * val - mac_i ; commit-then-open
-        # broadcast (actual commitments, ref channel.rs:50-75); sum == 0
+        # Batched MAC check ("Pragmatic MPC" 6.6.2 / the SPDZ batch check):
+        # d_i = alpha_i * val - mac_i per element, folded to ONE sigma_i per
+        # party with powers of a public coin sampled AFTER the opening, then
+        # commit-then-open broadcast of sigma (actual commitments, ref
+        # channel.rs:50-75) and sum == 0.  Folding first keeps the committed
+        # payload a single element regardless of batch size (the reference
+        # broadcasts whole vectors, spdz.rs:119-131 — fine at its client
+        # sizes, quadratic pain at SNARK sizes).
         d = F.sub(FR, self._alpha_times(val), x.mac)
-        g, commit_ok = self.net.atomic_gather(d)
+        stacked = self.base._has_party_axis()
+        if stacked:
+            flat = d.reshape((d.shape[0], -1, FR.L))
+            ax = 1
+        else:
+            flat = d.reshape((-1, FR.L))
+            ax = 0
+        eta = self.ctx.rand_fr(())  # public coin (post-opening)
+        m = flat.shape[ax]
+        etab = jnp.broadcast_to(eta, (m,) + eta.shape).astype(jnp.uint32)
+        one = jnp.broadcast_to(jnp.asarray(FR.one_mont), eta.shape).astype(jnp.uint32)
+        etab = etab.at[0].set(one)
+        pows = jax.lax.associative_scan(lambda a, b: F.mul(FR, a, b), etab, axis=0)
+        if stacked:
+            sigma = F.fold_sum(FR, F.mul(FR, flat, pows[None]), axis=1)
+        else:
+            sigma = F.fold_sum(FR, F.mul(FR, flat, pows), axis=0)
+        g, commit_ok = self.net.atomic_gather(sigma)
         self.ctx.push_check("spdz_atomic_commit", commit_ok)
         total = _fold_field(g)
         self.ctx.push_check("spdz_mac", F.is_zero(FR, total))
