@@ -2,7 +2,7 @@
 (ref mpc-snarks/src/proof.rs:464-508):
 
     python -m collaborative_zksnark_tpu.cli.proof \
-        -p {groth16,plonk} -c squaring --computation-size N \
+        -p {groth16,plonk,marlin} -c squaring --computation-size N \
         {local | mpc --alg {hbc,spdz,gsz} --parties K} [--platform cpu|tpu]
 
 Runs the prove inside a "timed section" scope (the line the reference's
@@ -21,7 +21,9 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser("proof")
-    ap.add_argument("-p", "--proof-system", choices=["groth16", "plonk"], required=True)
+    ap.add_argument(
+        "-p", "--proof-system", choices=["groth16", "plonk", "marlin"], required=True
+    )
     ap.add_argument("-c", "--computation", default="squaring")
     ap.add_argument("--computation-size", type=int, default=8)
     ap.add_argument("mode", choices=["local", "mpc"], nargs="?", default="local")
@@ -78,6 +80,20 @@ def main(argv=None):
                 proof = groth16.prove_mpc(pk, cs, scheme, z_sh, r_sh, s_sh)
             hp = groth16.reveal_proof(proof)
         ok = groth16.verify(vk, hp, inst[1:])
+    elif args.proof_system == "marlin":
+        from ..relations import r1cs
+        from ..snark import marlin
+
+        cs, assign = r1cs.squaring_circuit(args.computation_size)
+        with timed("setup"):
+            srs = marlin.universal_setup(marlin.max_degree_for(cs), seed=args.seed + 1)
+            pk, vk = marlin.index(cs, srs)
+        inst, wit = assign(x0)
+        wit_sh = scheme.king_share(F.FR.to_device(wit))
+        net.stats.reset()
+        with timed("timed section"):
+            proof = marlin.prove(pk, scheme, inst, wit_sh)
+        ok = marlin.verify(vk, inst[1:], proof)
     else:
         from ..relations.plonk_circuit import CircuitLayout, PlonkCircuit
         from ..snark import plonk
