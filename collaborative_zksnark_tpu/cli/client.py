@@ -9,7 +9,7 @@ recomputation.
 Computations (every one named here is implemented; ref client.rs:34-63):
   field:    sum, product, pproduct, inv, fft, polydiv
   group:    dh, groupops, msm
-  pairing:  pairingdh, pairingprod, pairingdiv        (hbc/spdz GT shares)
+  pairing:  pairingdh, pairingprod, pairingdiv    (hbc/spdz/gsz GT shares)
   poly-commit: kzg, kzgzk, kzgzkbatch, marlinpc, marlinpcbatch
   snark:    groth16, plonk, marlin
 """
@@ -223,8 +223,8 @@ def main(argv=None):
     elif comp in ("pairingdh", "pairingprod", "pairingdiv"):
         from ..mpc import pairing_share as pgs
 
-        if args.alg not in ("hbc", "spdz"):
-            raise SystemExit(f"{comp} supports hbc/spdz (GT mult shares)")
+        if args.alg not in ("hbc", "spdz", "gsz"):
+            raise SystemExit(f"{comp} needs GT shares (hbc/spdz/gsz)")
         gen1h, gen2h = H.G1_GEN, H.G2_GEN
         g1d = cv.g1_from_host([gen1h])
         g2d = cv.g2_from_host([gen2h])

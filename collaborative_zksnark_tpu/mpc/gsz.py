@@ -51,13 +51,8 @@ def _party_domain(n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _party_vandermonde(n: int):
-    """(V, V^-1) for the party domain as Montgomery device constants.
-
-    Party domains are tiny (n <= ~32), so the share-polynomial transforms
-    are explicit matrix products — a handful of batched field ops instead of
-    the full NTT machinery (compile-light, works for any n with an n-th
-    root of unity)."""
+def _party_vandermonde_int(n: int):
+    """(V, V^-1) for the party domain as host Python-int matrices."""
     dom = _party_domain(n)
     pts = dom.elements()
     V = [[pow(w, j, P) for j in range(n)] for w in pts]
@@ -73,6 +68,18 @@ def _party_vandermonde(n: int):
                 f = A[r][col]
                 A[r] = [(v - f * w) % P for v, w in zip(A[r], A[col])]
     Vinv = [row[n:] for row in A]
+    return V, Vinv
+
+
+@functools.lru_cache(maxsize=None)
+def _party_vandermonde(n: int):
+    """(V, V^-1) for the party domain as Montgomery device constants.
+
+    Party domains are tiny (n <= ~32), so the share-polynomial transforms
+    are explicit matrix products — a handful of batched field ops instead of
+    the full NTT machinery (compile-light, works for any n with an n-th
+    root of unity)."""
+    V, Vinv = _party_vandermonde_int(n)
     to_dev = lambda M: FR.to_device([v for row in M for v in row]).reshape(
         (n, n, FR.L)
     )

@@ -42,10 +42,14 @@ FQ12_BYTES = 12 * 48  # 12 Fq coordinates, 48 bytes each
 @dataclasses.dataclass
 class GtShare:
     """Multiplicative GT share (host-side): one Fq12 factor per party;
-    optional multiplicative MAC factors (SPDZ)."""
+    optional multiplicative MAC factors (SPDZ).  When `degree` is set the
+    share is Shamir-in-the-exponent (GSZ, ref gsz20/mod.rs:1460-1653
+    mul_field::MulFieldShare): party i holds g^{f(w^i)} for a degree-`degree`
+    polynomial f, and reveal is an exponent-iFFT with a degree check."""
 
     vals: List[tuple]
     macs: Optional[List[tuple]] = None
+    degree: Optional[int] = None
 
     @property
     def n(self) -> int:
@@ -54,6 +58,10 @@ class GtShare:
 
 def _is_spdz(scheme) -> bool:
     return scheme.name == "spdz"
+
+
+def _is_gsz(scheme) -> bool:
+    return scheme.name == "gsz"
 
 
 def _alpha_exps(scheme) -> List[int]:
@@ -66,8 +74,12 @@ def _alpha_exps(scheme) -> List[int]:
 def gt_from_public(scheme, f) -> GtShare:
     """Public Fq12 -> mult-share: king holds f, others hold 1
     (ref add.rs:417-421 from_public); SPDZ MACs: mac_i = f^{alpha_i}
-    (ref spdz.rs:480-486)."""
+    (ref spdz.rs:480-486).  GSZ: every party holds f — the constant
+    polynomial in the exponent, degree tagged t (ref gsz20/mod.rs:1551-1557
+    from_public)."""
     n = scheme.net.n_parties()
+    if _is_gsz(scheme):
+        return GtShare([f] * n, None, degree=scheme.t)
     vals = [f if i == 0 else H.FQ12_ONE for i in range(n)]
     macs = None
     if _is_spdz(scheme):
@@ -75,20 +87,28 @@ def gt_from_public(scheme, f) -> GtShare:
     return GtShare(vals, macs)
 
 
+def _merge_degree(a: GtShare, b: GtShare) -> Optional[int]:
+    if a.degree is None and b.degree is None:
+        return None
+    return max(d for d in (a.degree, b.degree) if d is not None)
+
+
 def gt_mul(a: GtShare, b: GtShare) -> GtShare:
-    """Local multiplicative mul (ref add.rs:455-460)."""
+    """Local multiplicative mul (ref add.rs:455-460).  GSZ: exponents add,
+    so the exponent-polynomial degree does NOT grow (ref gsz20/mod.rs:
+    1593-1600 mul is local for MulFieldShare)."""
     vals = [H.fq12_mul(x, y) for x, y in zip(a.vals, b.vals)]
     macs = None
     if a.macs is not None:
         macs = [H.fq12_mul(x, y) for x, y in zip(a.macs, b.macs)]
-    return GtShare(vals, macs)
+    return GtShare(vals, macs, degree=_merge_degree(a, b))
 
 
 def gt_inv(a: GtShare) -> GtShare:
     """Local inversion (ref add.rs:472-476)."""
     vals = [H.fq12_inv(x) for x in a.vals]
     macs = [H.fq12_inv(x) for x in a.macs] if a.macs is not None else None
-    return GtShare(vals, macs)
+    return GtShare(vals, macs, degree=a.degree)
 
 
 def gt_div(a: GtShare, b: GtShare) -> GtShare:
@@ -98,7 +118,10 @@ def gt_div(a: GtShare, b: GtShare) -> GtShare:
 def gt_scale_pub(scheme, a: GtShare, f) -> GtShare:
     """Multiply by a PUBLIC Fq12: king-only on the value (ref add.rs:444-449
     MulFieldShare::scale); SPDZ MACs each multiply by f^{alpha_i}
-    (ref spdz.rs:501-507)."""
+    (ref spdz.rs:501-507).  GSZ: constant-poly addition in the exponent —
+    EVERY party multiplies by f (ref gsz20/mod.rs:1563-1570 shift)."""
+    if a.degree is not None:
+        return GtShare([H.fq12_mul(v, f) for v in a.vals], None, degree=a.degree)
     vals = [H.fq12_mul(v, f) if i == 0 else v for i, v in enumerate(a.vals)]
     macs = None
     if a.macs is not None:
@@ -109,14 +132,41 @@ def gt_scale_pub(scheme, a: GtShare, f) -> GtShare:
     return GtShare(vals, macs)
 
 
+def _gt_reveal_gsz(scheme, a: GtShare):
+    """Exponent-Shamir open (ref gsz20/mod.rs:1492-1533 open): broadcast
+    shares, interpolate the exponent polynomial via V^-1 applied IN THE
+    EXPONENT (c_j = prod_i x_i^{Vinv[j][i]}), require coefficients above
+    `degree` to be one (degree check -> abort on cheat), return c_0 = g^f(0).
+
+    Assumes the shares lie in the order-r GT subgroup (true for every
+    pairing output); the coefficient identities are mod-r statements."""
+    from .gsz import _party_vandermonde_int
+
+    n = a.n
+    _, Vinv = _party_vandermonde_int(n)
+    coeffs = [H.FQ12_ONE] * n
+    rows = [0] + list(range(a.degree + 1, n))  # value + checked coeffs
+    for j in rows:
+        c = H.FQ12_ONE
+        for i in range(n):
+            c = H.fq12_mul(c, H.fq12_pow(a.vals[i], Vinv[j][i]))
+        coeffs[j] = c
+    ok = all(coeffs[j] == H.FQ12_ONE for j in range(a.degree + 1, n))
+    scheme.ctx.push_check("gsz_gt_degree", ok)
+    return coeffs[0]
+
+
 def gt_reveal(scheme, a: GtShare):
     """Broadcast + product (ref add.rs:414-416); SPDZ: then atomic-broadcast
     d_i = x^{alpha_i} / mac_i and require prod d_i == 1 (ref
-    spdz.rs:468-478).  Traffic is accounted on the net stats."""
+    spdz.rs:468-478).  GSZ: exponent interpolation + degree check
+    (ref gsz20/mod.rs:1492-1533).  Traffic is accounted on the net stats."""
     stats = scheme.net.stats
     stats.broadcasts += 1
     stats.bytes_sent += FQ12_BYTES * (a.n - 1)
     stats.bytes_recv += FQ12_BYTES * (a.n - 1)
+    if a.degree is not None:
+        return _gt_reveal_gsz(scheme, a)
     x = H.FQ12_ONE
     for v in a.vals:
         x = H.fq12_mul(x, v)
@@ -161,7 +211,8 @@ def _pair_against_public(scheme, pts, macs, pub, g1_side: bool) -> GtShare:
     pair = (lambda s: H.pairing(s, pub)) if g1_side else (lambda s: H.pairing(pub, s))
     vals = [pair(p) for p in pts]
     gmacs = [pair(p) for p in macs] if macs is not None else None
-    return GtShare(vals, gmacs)
+    deg = scheme.t if _is_gsz(scheme) else None
+    return GtShare(vals, gmacs, degree=deg)
 
 
 def pairing_triple(scheme):

@@ -41,10 +41,13 @@ def _shared_muls(sch, a, b):
     return A_sh, B_sh
 
 
-@pytest.mark.parametrize("alg", ["hbc", "spdz"])
+_PARTIES = {"hbc": 2, "spdz": 2, "gsz": 3}
+
+
+@pytest.mark.parametrize("alg", ["hbc", "spdz", "gsz"])
 def test_pairing_dh(alg):
     """e(a*G1, b*G2) over shares == host pairing (PairingDh)."""
-    ctx = MpcContext(StackedNet(2), seed=3)
+    ctx = MpcContext(StackedNet(_PARTIES[alg]), seed=3)
     sch = wire.make_scheme(alg, ctx)
     a, b = 1234567, 7654321
     A_sh, B_sh = _shared_muls(sch, a, b)
@@ -57,11 +60,11 @@ def test_pairing_dh(alg):
     assert got == want
 
 
-@pytest.mark.parametrize("alg", ["hbc", "spdz"])
+@pytest.mark.parametrize("alg", ["hbc", "spdz", "gsz"])
 def test_pairing_prod_div(alg):
     """e((a+b)G1, (c+d)G2) == prod of the four cross pairings, and the
     division variant (PairingProd / PairingDiv, client.rs:520-575)."""
-    ctx = MpcContext(StackedNet(2), seed=5)
+    ctx = MpcContext(StackedNet(_PARTIES[alg]), seed=5)
     sch = wire.make_scheme(alg, ctx)
     a, b, c, d = 11, 22, 33, 44
     gts = {}
@@ -108,4 +111,17 @@ def test_spdz_gt_value_tamper_abort():
     g = pgs.gt_from_public(sch, f)
     g.vals[1] = H.fq12_mul(g.vals[1], f)
     pgs.gt_reveal(sch, g)
+    assert not ctx.checks_ok()
+
+
+def test_gsz_gt_degree_abort():
+    """GSZ exponent-Shamir shares off the degree-t polynomial must fail the
+    exponent degree check at open (ref gsz20/mod.rs:1492-1533)."""
+    ctx = MpcContext(StackedNet(3), seed=3)
+    sch = wire.make_scheme("gsz", ctx)
+    a, b = 97, 31
+    A_sh, B_sh = _shared_muls(sch, a, b)
+    gt = pgs.pairing_shared(sch, A_sh, B_sh)
+    gt.vals[2] = H.fq12_mul(gt.vals[2], H.pairing(H.G1_GEN, H.G2_GEN))
+    pgs.gt_reveal(sch, gt)
     assert not ctx.checks_ok()
