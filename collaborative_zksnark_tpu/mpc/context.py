@@ -27,9 +27,17 @@ class MpcCheckError(AssertionError):
 
 
 class MpcContext:
-    def __init__(self, net, seed: int = 0, debug: bool = False):
+    def __init__(self, net, seed: int = 0, debug: bool = False, party_id: int = 0):
         self.net = net
-        self.rng = np.random.default_rng(seed)
+        # The reference distinguishes PUBLIC randomness (PubUniformRand —
+        # identical on every party, used for post-opening public coins) from
+        # ordinary randomness (dealer/party-private, used to sample shares and
+        # blinding) — ref utils/src/rand_helper.rs:15-19.  Two streams:
+        #   rng      — private/dealer stream, diverges per party in a real
+        #              multi-process deployment (party_id folds into the seed)
+        #   pub_rng  — common-coin stream, same seed on every party
+        self.rng = np.random.default_rng([seed, 1 + party_id])
+        self.pub_rng = np.random.default_rng([seed, 0])
         self.checks: List[Tuple[str, object]] = []
         # debug: run the cross-party `check_eq` consistency assert on every
         # reveal (ref wire/macros.rs:10-38 — debug-build-only upstream too)
@@ -40,20 +48,34 @@ class MpcContext:
         return self.net.n_parties()
 
     # -- randomness (host-driven; shapes are static) -----------------------
-    def rand_fr_ints(self, n: int):
-        return [
-            int.from_bytes(self.rng.bytes(40), "little") % C.R_MOD
-            for _ in range(n)
-        ]
+    @staticmethod
+    def _ints_from(rng, n: int):
+        return [int.from_bytes(rng.bytes(40), "little") % C.R_MOD for _ in range(n)]
 
-    def rand_fr(self, shape=()):
-        """Uniform Fr elements in Montgomery device form."""
-        cnt = int(np.prod(shape)) if shape else 1
-        vals = self.rand_fr_ints(cnt)
+    @staticmethod
+    def _to_mont_device(vals, shape):
         arr = F.ints_to_limbs(
             [(v << (F.LIMB_BITS * FR.L)) % C.R_MOD for v in vals], FR.L
         )
         return jnp.asarray(arr.reshape(tuple(shape) + (FR.L,)))
+
+    def rand_fr_ints(self, n: int):
+        return self._ints_from(self.rng, n)
+
+    def rand_fr(self, shape=()):
+        """Uniform Fr elements in Montgomery device form (PRIVATE stream:
+        dealing, share sampling, blinding — ark UniformRand)."""
+        cnt = int(np.prod(shape)) if shape else 1
+        return self._to_mont_device(self.rand_fr_ints(cnt), shape)
+
+    def pub_rand_fr_ints(self, n: int):
+        return self._ints_from(self.pub_rng, n)
+
+    def pub_rand_fr(self, shape=()):
+        """Uniform Fr elements every party derives IDENTICALLY (public
+        coins — ref PubUniformRand, utils/src/rand_helper.rs:15-19)."""
+        cnt = int(np.prod(shape)) if shape else 1
+        return self._to_mont_device(self.pub_rand_fr_ints(cnt), shape)
 
     # -- deferred checks ---------------------------------------------------
     def push_check(self, label: str, ok_device_bool):

@@ -263,8 +263,8 @@ class GszScheme:
 
     def _coin(self) -> jnp.ndarray:
         """Public coin: all parties derive the same value
-        (ref gsz20/mod.rs:526-531)."""
-        return self.ctx.rand_fr(())
+        (ref gsz20/mod.rs:526-531) — drawn from the PubUniformRand stream."""
+        return self.ctx.pub_rand_fr(())
 
     def _elem_axis(self):
         return 1 if self._stacked() else 0

@@ -90,7 +90,7 @@ class SpdzScheme:
         else:
             flat = d.reshape((-1, FR.L))
             ax = 0
-        eta = self.ctx.rand_fr(())  # public coin (post-opening)
+        eta = self.ctx.pub_rand_fr(())  # public coin (post-opening)
         m = flat.shape[ax]
         etab = jnp.broadcast_to(eta, (m,) + eta.shape).astype(jnp.uint32)
         one = jnp.broadcast_to(jnp.asarray(FR.one_mont), eta.shape).astype(jnp.uint32)
