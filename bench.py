@@ -45,6 +45,7 @@ def main():
     )
     log("devices:", jax.devices())
 
+    import jax.numpy as jnp
     import numpy as np
 
     from collaborative_zksnark_tpu.algebra import bls12_377 as C
@@ -81,9 +82,23 @@ def main():
     )
 
     # ---- MSM throughput at 2^16 (config 2) ------------------------------
+    # Points come from HOST scalar-muls tiled to size (64 distinct points
+    # repeated): bucket/add behavior of the branchless Pippenger is identical
+    # for repeated points, and this keeps the costly fixed-base device kernel
+    # compile OUT of the headline path (round-1 rc=124 root cause).
     n_msm = 1 << 16
-    base_sc = F.rand(F.FR, rng, (n_msm,))
-    pts = msm_mod.fixed_base_msm(cv.FQ_OPS, H.G1, H.G1_GEN, base_sc, c=8)
+    n_distinct = 64
+    host_pts = [
+        H.G1.scalar_mul(H.G1_GEN, int(rng.integers(1, 1 << 62)))
+        for _ in range(n_distinct)
+    ]
+    pts1 = cv.g1_from_host(host_pts)
+    reps_t = n_msm // n_distinct
+    pts = cv.JacPoint(
+        jnp.tile(pts1.x, (reps_t, 1)),
+        jnp.tile(pts1.y, (reps_t, 1)),
+        jnp.tile(pts1.z, (reps_t, 1)),
+    )
     np.asarray(pts.x[0])
     sc = F.rand(F.FR, rng, (n_msm,))
     res = msm_mod.msm(cv.FQ_OPS, pts, sc)

@@ -42,6 +42,7 @@ from .curve import (
     _shift_points,
     point_add,
     point_double,
+    point_neg,
     point_select,
     reduce_points,
     zero_point,
@@ -81,7 +82,19 @@ def msm_bitserial(fld, points: JacPoint, scalars_mont) -> JacPoint:
 
 
 # ---------------------------------------------------------------------------
-# Pippenger (sorted-bucket segmented-scan formulation)
+# Pippenger (flat sort + plain prefix scan + prefix-difference buckets)
+#
+# Vector-machine formulation, v2:
+#   * ALL windows are flattened into ONE array of W*N (window, digit) keys,
+#     sorted together — one big sort instead of W vmapped sorts.
+#   * Bucket sums come from an UNSEGMENTED inclusive prefix scan of the
+#     sorted points followed by prefix DIFFERENCES at bucket boundaries
+#     (found with searchsorted + gather).  Points subtract by negating y, so
+#     S_b = prefix[end(b)] - prefix[end(b-1)] needs no segment flags and —
+#     crucially — no scatter (the previous formulation scattered segment
+#     totals with .at[].set, which lowers to a serialized TPU scatter).
+#   * The scan is jax.lax.associative_scan over point_add (the fused Pallas
+#     G1 add), work-efficient: ~2*W*N adds total.
 # ---------------------------------------------------------------------------
 
 def _window_digits(sc_std, c: int, n_windows: int):
@@ -101,135 +114,95 @@ def _window_digits(sc_std, c: int, n_windows: int):
     return jnp.stack(digs, axis=0)
 
 
-def _segmented_scan_points(fld, pts: JacPoint, seg_start):
-    """Inclusive segmented prefix-sum of points along axis 0.
-    seg_start: int32 (N,), 1 where a new segment begins.
+def _prefix_scan_points(fld, pts: JacPoint) -> JacPoint:
+    """Plain (unsegmented) inclusive prefix sum of points along axis 0 —
+    work-efficient associative scan (~2N adds), each add the fused Pallas
+    kernel on TPU."""
 
-    Two implementations:
-      * TPU (Pallas field kernels): work-efficient lax.associative_scan
-        (~2N point-adds) — the per-add graph is small enough to trace at
-        every scan site.
-      * CPU/jnp fallback: Hillis-Steele with ONE traced point_add inside a
-        fori_loop (N log N work but compile-light).
-    """
-    if F._pallas_ok():
-        def comb(a, b):
-            ax, ay, az, af = a
-            bx, by, bz, bf = b
-            merged = point_add(fld, JacPoint(ax, ay, az), JacPoint(bx, by, bz))
-            keep_b = bf == 1
-            out = point_select(fld, keep_b, JacPoint(bx, by, bz), merged)
-            return (out.x, out.y, out.z, af | bf)
+    def comb(a, b):
+        out = point_add(fld, JacPoint(*a), JacPoint(*b))
+        return (out.x, out.y, out.z)
 
-        sx, sy, sz, _ = jax.lax.associative_scan(
-            comb, (pts.x, pts.y, pts.z, seg_start), axis=0
-        )
-        return JacPoint(sx, sy, sz)
-    return _segmented_scan_points_hs(fld, pts, seg_start)
+    sx, sy, sz = jax.lax.associative_scan(comb, (pts.x, pts.y, pts.z), axis=0)
+    return JacPoint(sx, sy, sz)
 
 
-def _segmented_scan_points_hs(fld, pts: JacPoint, seg_start):
-    n = pts.x.shape[0]
-    levels = max(1, (n - 1).bit_length())
-    zero_batch = zero_point(fld, pts)
-
-    def body(d, st):
-        x, y, z, f = st
-        s = jnp.left_shift(1, d)
-        prev = _shift_points(JacPoint(x, y, z), s)
-        # shifted-in flags act as boundaries (block accumulation)
-        fpad = jnp.concatenate([jnp.ones_like(f), f], axis=0)
-        fprev = jax.lax.dynamic_slice_in_dim(fpad, n - s, n, axis=0)
-        blocked = f == 1
-        prev = point_select(fld, blocked, zero_batch, prev)
-        added = point_add(fld, JacPoint(x, y, z), prev)
-        return (added.x, added.y, added.z, f | fprev)
-
-    x, y, z, _ = jax.lax.fori_loop(
-        0, levels, body, (pts.x, pts.y, pts.z, seg_start)
+def _gather_point(pts: JacPoint, idx) -> JacPoint:
+    return JacPoint(
+        jnp.take(pts.x, idx, axis=0),
+        jnp.take(pts.y, idx, axis=0),
+        jnp.take(pts.z, idx, axis=0),
     )
-    return JacPoint(x, y, z)
 
 
-def _bucket_sums(fld, pts_sorted: JacPoint, digs_sorted, n_buckets):
-    """Points sorted by digit -> per-bucket sums (n_buckets, ...); bucket 0
-    is forced to the identity (digit 0 contributes nothing)."""
-    n = digs_sorted.shape[0]
-    seg_start = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.int32),
-            (digs_sorted[1:] != digs_sorted[:-1]).astype(jnp.int32),
-        ]
-    )
-    scan = _segmented_scan_points(fld, pts_sorted, seg_start)
-    is_last = jnp.concatenate(
-        [(digs_sorted[1:] != digs_sorted[:-1]), jnp.ones((1,), jnp.bool_)]
-    )
-    # scatter segment totals into buckets; non-last rows and digit-0 rows go
-    # to a trash slot
-    target = jnp.where(is_last & (digs_sorted > 0), digs_sorted, n_buckets)
-    zero1 = zero_point(fld, JacPoint(scan.x[:1], scan.y[:1], scan.z[:1]))
-    bshape = lambda a: (n_buckets + 1,) + a.shape[1:]
-    bx = jnp.broadcast_to(zero1.x[0], bshape(scan.x)).at[target].set(scan.x)
-    by = jnp.broadcast_to(zero1.y[0], bshape(scan.y)).at[target].set(scan.y)
-    bz = jnp.broadcast_to(zero1.z[0], bshape(scan.z)).at[target].set(scan.z)
-    return JacPoint(bx[:n_buckets], by[:n_buckets], bz[:n_buckets])
-
-
-def _weighted_bucket_total(fld, buckets: JacPoint) -> JacPoint:
-    """sum_{b>=1} b * S_b.
-
-    TPU path: reversed inclusive associative scan (suffix sums) + batched
-    reduction — log-depth, fully batched over the vmapped window axis.
-    CPU path: the classic running/total reverse fori (2 adds per bucket)."""
-    nb = buckets.x.shape[0]
-    if F._pallas_ok():
-        def comb(a, b):
-            out = point_add(fld, JacPoint(*a), JacPoint(*b))
-            return (out.x, out.y, out.z)
-
-        rx = jnp.flip(buckets.x, axis=0)
-        ry = jnp.flip(buckets.y, axis=0)
-        rz = jnp.flip(buckets.z, axis=0)
-        sx, sy, sz = jax.lax.associative_scan(comb, (rx, ry, rz), axis=0)
-        # sum of suffix(b) for b=1..nb-1 == sum_b b*S_b: all entries except
-        # the last (= suffix(0))
-        total = reduce_points(fld, JacPoint(sx[:-1], sy[:-1], sz[:-1]))
-        return total
-    zero1 = zero_point(fld, JacPoint(buckets.x[:1], buckets.y[:1], buckets.z[:1]))
-    zero_s = JacPoint(zero1.x[0], zero1.y[0], zero1.z[0])
-
-    def body(i, st):
-        running, total = st
-        b = nb - 1 - i
-        e = JacPoint(buckets.x[b], buckets.y[b], buckets.z[b])
-        running = point_add(fld, running, e)
-        total = point_add(fld, total, running)
-        return (running, total)
-
-    _, total = jax.lax.fori_loop(0, nb - 1, body, (zero_s, zero_s))
-    return total
-
-
-def _pippenger_window(fld, points: JacPoint, digs_w, c: int) -> JacPoint:
-    """One Pippenger window: returns sum_i digit_i * P_i (a scalar point)."""
+def _bucket_sums_flat(fld, prefix: JacPoint, keys_sorted, n_windows, c):
+    """Per-(window, bucket) sums from the global prefix scan:
+    S_{w,b} = prefix[last index with key <= (w<<c)+b]
+            - prefix[last index with key <= (w<<c)+b-1]
+    (point subtraction = add the y-negated point; empty buckets give
+    P - P = identity through the branchless add's inverse-pair path)."""
     n_buckets = 1 << c
-    order = jnp.argsort(digs_w)
-    digs_sorted = jnp.take(digs_w, order, axis=0)
-    pts_sorted = JacPoint(
-        jnp.take(points.x, order, axis=0),
-        jnp.take(points.y, order, axis=0),
-        jnp.take(points.z, order, axis=0),
+    qkeys = (
+        (jnp.arange(n_windows, dtype=jnp.int32)[:, None] << c)
+        + jnp.arange(n_buckets, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    ss_hi = jnp.searchsorted(keys_sorted, qkeys, side="right")
+    ss_lo = jnp.searchsorted(keys_sorted, qkeys - 1, side="right")
+    e_hi = ss_hi - 1
+    e_lo = ss_lo - 1
+    P_hi = _gather_point(prefix, jnp.clip(e_hi, 0))
+    P_lo = _gather_point(prefix, jnp.clip(e_lo, 0))
+    # invalidate out-of-range prefixes (before the first element): identity
+    zero = zero_point(fld, P_hi)
+    P_hi = point_select(fld, e_hi < 0, zero, P_hi)
+    P_lo = point_select(fld, e_lo < 0, zero, P_lo)
+    S = point_add(fld, P_hi, point_neg(fld, P_lo))
+    return JacPoint(
+        S.x.reshape((n_windows, n_buckets) + S.x.shape[1:]),
+        S.y.reshape((n_windows, n_buckets) + S.y.shape[1:]),
+        S.z.reshape((n_windows, n_buckets) + S.z.shape[1:]),
     )
-    buckets = _bucket_sums(fld, pts_sorted, digs_sorted, n_buckets)
-    return _weighted_bucket_total(fld, buckets)
+
+
+def _weighted_bucket_totals(fld, buckets: JacPoint) -> JacPoint:
+    """sum_{b>=1} b * S_{w,b} for every window w, batched:
+    reversed inclusive scan along the bucket axis (suffix sums) + pairwise
+    tree reduction.  buckets: (W, 2^c, ...) -> (W, ...)."""
+
+    def comb(a, b):
+        out = point_add(fld, JacPoint(*a), JacPoint(*b))
+        return (out.x, out.y, out.z)
+
+    rx = jnp.flip(buckets.x, axis=1)
+    ry = jnp.flip(buckets.y, axis=1)
+    rz = jnp.flip(buckets.z, axis=1)
+    sx, sy, sz = jax.lax.associative_scan(comb, (rx, ry, rz), axis=1)
+    # suffix(b) for b >= 1 lives at positions :-1; sum them pairwise
+    P = JacPoint(sx[:, :-1], sy[:, :-1], sz[:, :-1])
+    m = P.x.shape[1]
+    # pad bucket axis to a power of two with identities
+    mp = 1 << max(0, (m - 1).bit_length())
+    if mp != m:
+        z1 = zero_point(fld, JacPoint(P.x[:, :1], P.y[:, :1], P.z[:, :1]))
+        padb = lambda a, pz: jnp.concatenate(
+            [a, jnp.broadcast_to(pz, (a.shape[0], mp - m) + a.shape[2:])], axis=1
+        )
+        P = JacPoint(padb(P.x, z1.x[:, :1]), padb(P.y, z1.y[:, :1]), padb(P.z, z1.z[:, :1]))
+    while mp > 1:
+        h = mp // 2
+        P = point_add(
+            fld,
+            JacPoint(P.x[:, :h], P.y[:, :h], P.z[:, :h]),
+            JacPoint(P.x[:, h : 2 * h], P.y[:, h : 2 * h], P.z[:, h : 2 * h]),
+        )
+        mp = h
+    return JacPoint(P.x[:, 0], P.y[:, 0], P.z[:, 0])
 
 
 def msm_pippenger(fld, points: JacPoint, scalars_mont, c: int = 8) -> JacPoint:
-    """Windowed bucket MSM.  ALL windows are processed simultaneously (vmap
-    over the window axis — sorts, segmented scans and the bucket reduction
-    all batch across the ~253/c windows, keeping the VPU full); window
-    results are then combined with a c-doublings + add ladder."""
+    """Windowed bucket MSM over flattened (window, digit) keys — see the
+    section comment above.  Window results combine with a c-doublings + add
+    ladder (ref ec/src/msm/variable_base.rs:84-110)."""
     return _pippenger_kernel(fld, c)(points, scalars_mont)
 
 
@@ -238,10 +211,16 @@ def _pippenger_kernel(fld, c):
     n_windows = (FR_BITS + c - 1) // c
 
     def f(points, scalars_mont):
+        n = points.x.shape[0]
         sc = _scalar_bits_standard(scalars_mont)
         digs = _window_digits(sc, c, n_windows)            # (W, N)
-        window = lambda d: _pippenger_window(fld, points, d, c)
-        results = jax.vmap(window)(digs)                   # (W, ...)
+        keys = digs + (jnp.arange(n_windows, dtype=jnp.int32)[:, None] << c)
+        order = jnp.argsort(keys.reshape(-1))              # (W*N,)
+        keys_sorted = jnp.take(keys.reshape(-1), order)
+        pts_sorted = _gather_point(points, order % n)
+        prefix = _prefix_scan_points(fld, pts_sorted)
+        buckets = _bucket_sums_flat(fld, prefix, keys_sorted, n_windows, c)
+        results = _weighted_bucket_totals(fld, buckets)    # (W, ...)
 
         def body(i, acc):
             w = n_windows - 2 - i
@@ -297,7 +276,9 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
     if n <= 16:
         return _bitserial_kernel(fld)(points, scalars_mont)
     if c is None:
-        c = 8 if n >= (1 << 12) else 4
+        # classic balance: scan work ~ 2*(253/c)*N vs bucket work ~ W*2^c
+        logn = n.bit_length() - 1
+        c = max(4, min(13, logn - 3))
     return msm_pippenger(fld, points, scalars_mont, c=c)
 
 

@@ -1,10 +1,15 @@
 """Fused Pallas kernels for G1 (Fq) Jacobian point add / double.
 
 One kernel launch per batched point operation instead of ~50 field-kernel
-launches: the full branchless add (general add + doubling path + identity /
-inverse handling, mirroring ops/curve.point_add) runs VMEM-resident on
-limb-plane rows.  This removes the inter-op HBM round trips that dominate
-MSM/NTT point pipelines and the launch latency that dominates small sizes.
+launches.  v2: built on the CIOS-broadcast in-kernel field algebra
+(ops/pallas_field.py k_* helpers) over (L, S, T) blocks — the Mosaic body is
+a few thousand ops, so each width variant compiles in seconds (the previous
+fully-unrolled row formulation took >10 minutes per variant, which made
+every new MSM/scan width a compile disaster).
+
+Branchless semantics mirror ops/curve.point_add: general Jacobian add +
+doubling path + identity / inverse handling merged with vector selects
+(ref algebra/ec/src/models/short_weierstrass_jacobian.rs).
 """
 
 from __future__ import annotations
@@ -21,48 +26,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..algebra.field import FQ
 from . import pallas_field as PF
 
-
-def _rows(ref, L):
-    return [ref[i : i + 1, :] for i in range(L)]
-
-
-def _is_zero_rows(spec, rows):
-    """Field zero test on (1,T) rows: digits all zero or equal to p."""
-    pl_ = spec.p_limbs
-    z0 = None
-    zp = None
-    for r, pc in zip(rows, pl_):
-        c0 = r == 0
-        cp = r == np.uint32(int(pc))
-        z0 = c0 if z0 is None else (z0 & c0)
-        zp = cp if zp is None else (zp & cp)
-    return z0 | zp
+U32 = jnp.uint32
+S_SUB = PF.S_SUB
+T_BIG = PF.T_BIG
+T_SMALL = PF.T_SMALL
 
 
-def _sel_rows(mask, a_rows, b_rows):
-    return [jnp.where(mask, x, y) for x, y in zip(a_rows, b_rows)]
-
-
-def _dbl_rows(spec, rows):
-    return PF._add_rows(spec, rows, rows)
-
-
-def _mul_small_rows(spec, rows, k):
-    acc = None
-    base = rows
-    while k:
-        if k & 1:
-            acc = base if acc is None else PF._add_rows(spec, acc, base)
-        k >>= 1
-        if k:
-            base = PF._add_rows(spec, base, base)
-    return acc
-
-
-def _point_add_rows(spec, X1, Y1, Z1, X2, Y2, Z2):
-    mul = lambda a, b: PF._mont_mul_rows(spec, a, b)
-    add = lambda a, b: PF._add_rows(spec, a, b)
-    sub = lambda a, b: PF._sub_rows(spec, a, b)
+def _point_add_planes(spec, X1, Y1, Z1, X2, Y2, Z2, unroll=True):
+    mul = lambda a, b: PF.k_mul(spec, a, b, unroll)
+    add = lambda a, b: PF.k_add(spec, a, b)
+    sub = lambda a, b: PF.k_sub(spec, a, b)
+    dbl = lambda a: PF.k_add(spec, a, a)
 
     Z1Z1 = mul(Z1, Z1)
     Z2Z2 = mul(Z2, Z2)
@@ -76,67 +50,63 @@ def _point_add_rows(spec, X1, Y1, Z1, X2, Y2, Z2):
     HH = mul(H, H)
     HHH = mul(H, HH)
     V = mul(U1, HH)
-    X3 = sub(sub(mul(r, r), HHH), _dbl_rows(spec, V))
+    X3 = sub(sub(mul(r, r), HHH), dbl(V))
     Y3 = sub(mul(r, sub(V, X3)), mul(S1, HHH))
     Z3 = mul(mul(Z1, Z2), H)
 
-    # doubling path (a = 0)
+    # doubling path (a = 0; dbl-2009-l)
     A = mul(X1, X1)
     Bv = mul(Y1, Y1)
     Cv = mul(Bv, Bv)
     xb = add(X1, Bv)
     t = mul(xb, xb)
-    D = _dbl_rows(spec, sub(t, add(A, Cv)))
-    E = add(_dbl_rows(spec, A), A)
+    D = dbl(sub(t, add(A, Cv)))
+    E = add(dbl(A), A)
     Fv = mul(E, E)
-    Xd = sub(Fv, _dbl_rows(spec, D))
-    Yd = sub(mul(E, sub(D, Xd)), _mul_small_rows(spec, Cv, 8))
-    Zd = _dbl_rows(spec, mul(Y1, Z1))
+    Xd = sub(Fv, dbl(D))
+    Yd = sub(mul(E, sub(D, Xd)), PF.k_mul_small(spec, Cv, 8))
+    Zd = dbl(mul(Y1, Z1))
 
-    p1_inf = _is_zero_rows(spec, Z1)
-    p2_inf = _is_zero_rows(spec, Z2)
-    eq_x = _is_zero_rows(spec, H)
-    eq_y = _is_zero_rows(spec, r)
+    p1_inf = PF.k_is_zero(spec, Z1)
+    p2_inf = PF.k_is_zero(spec, Z2)
+    eq_x = PF.k_is_zero(spec, H)
+    eq_y = PF.k_is_zero(spec, r)
 
-    zero = [jnp.zeros_like(X1[0]) for _ in X1]
-    one_m = [
-        jnp.full_like(X1[0], np.uint32(int(c))) for c in spec.one_mont
-    ]
+    zero = jnp.zeros_like(X1)
+    one_m = PF.k_one(spec, X1)
 
+    sel = PF.k_select
     ox, oy, oz = X3, Y3, Z3
     m_dbl = eq_x & eq_y
-    ox = _sel_rows(m_dbl, Xd, ox)
-    oy = _sel_rows(m_dbl, Yd, oy)
-    oz = _sel_rows(m_dbl, Zd, oz)
+    ox, oy, oz = sel(m_dbl, Xd, ox), sel(m_dbl, Yd, oy), sel(m_dbl, Zd, oz)
     m_zero = eq_x & (~eq_y)
-    ox = _sel_rows(m_zero, one_m, ox)
-    oy = _sel_rows(m_zero, one_m, oy)
-    oz = _sel_rows(m_zero, zero, oz)
-    ox = _sel_rows(p1_inf, X2, ox)
-    oy = _sel_rows(p1_inf, Y2, oy)
-    oz = _sel_rows(p1_inf, Z2, oz)
+    ox, oy, oz = (
+        sel(m_zero, one_m, ox),
+        sel(m_zero, one_m, oy),
+        sel(m_zero, zero, oz),
+    )
+    ox, oy, oz = sel(p1_inf, X2, ox), sel(p1_inf, Y2, oy), sel(p1_inf, Z2, oz)
     m_p = p2_inf & (~p1_inf)
-    ox = _sel_rows(m_p, X1, ox)
-    oy = _sel_rows(m_p, Y1, oy)
-    oz = _sel_rows(m_p, Z1, oz)
+    ox, oy, oz = sel(m_p, X1, ox), sel(m_p, Y1, oy), sel(m_p, Z1, oz)
     return ox, oy, oz
 
 
-def _point_double_rows(spec, X1, Y1, Z1):
-    mul = lambda a, b: PF._mont_mul_rows(spec, a, b)
-    add = lambda a, b: PF._add_rows(spec, a, b)
-    sub = lambda a, b: PF._sub_rows(spec, a, b)
+def _point_double_planes(spec, X1, Y1, Z1, unroll=True):
+    mul = lambda a, b: PF.k_mul(spec, a, b, unroll)
+    add = lambda a, b: PF.k_add(spec, a, b)
+    sub = lambda a, b: PF.k_sub(spec, a, b)
+    dbl = lambda a: PF.k_add(spec, a, a)
     A = mul(X1, X1)
     Bv = mul(Y1, Y1)
     Cv = mul(Bv, Bv)
     xb = add(X1, Bv)
     t = mul(xb, xb)
-    D = _dbl_rows(spec, sub(t, add(A, Cv)))
-    E = add(_dbl_rows(spec, A), A)
+    D = dbl(sub(t, add(A, Cv)))
+    E = add(dbl(A), A)
     Fv = mul(E, E)
-    Xd = sub(Fv, _dbl_rows(spec, D))
-    Yd = sub(mul(E, sub(D, Xd)), _mul_small_rows(spec, Cv, 8))
-    Zd = _dbl_rows(spec, mul(Y1, Z1))
+    Xd = sub(Fv, dbl(D))
+    Yd = sub(mul(E, sub(D, Xd)), PF.k_mul_small(spec, Cv, 8))
+    Zd = dbl(mul(Y1, Z1))
     return Xd, Yd, Zd
 
 
@@ -145,24 +115,25 @@ def _add_kernel(n_tiles: int, T: int):
     L = FQ.L
 
     def kernel(px, py, pz, qx, qy, qz, ox, oy, oz):
-        outs = _point_add_rows(
+        outs = _point_add_planes(
             FQ,
-            _rows(px, L), _rows(py, L), _rows(pz, L),
-            _rows(qx, L), _rows(qy, L), _rows(qz, L),
+            px[:, :, :], py[:, :, :], pz[:, :, :],
+            qx[:, :, :], qy[:, :, :], qz[:, :, :],
         )
-        for ref, rows in zip((ox, oy, oz), outs):
-            for i in range(L):
-                ref[i : i + 1, :] = rows[i]
+        for ref, val in zip((ox, oy, oz), outs):
+            ref[:, :, :] = val
 
-    spec = lambda: pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bs = lambda: pl.BlockSpec(
+        (L, S_SUB, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
     fn = pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((L, n_tiles * T), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((L, S_SUB, n_tiles * T), U32) for _ in range(3)
         ),
         grid=(n_tiles,),
-        in_specs=[spec() for _ in range(6)],
-        out_specs=tuple(spec() for _ in range(3)),
+        in_specs=[bs() for _ in range(6)],
+        out_specs=tuple(bs() for _ in range(3)),
     )
     return jax.jit(fn)
 
@@ -172,53 +143,46 @@ def _dbl_kernel(n_tiles: int, T: int):
     L = FQ.L
 
     def kernel(px, py, pz, ox, oy, oz):
-        outs = _point_double_rows(FQ, _rows(px, L), _rows(py, L), _rows(pz, L))
-        for ref, rows in zip((ox, oy, oz), outs):
-            for i in range(L):
-                ref[i : i + 1, :] = rows[i]
+        outs = _point_double_planes(FQ, px[:, :, :], py[:, :, :], pz[:, :, :])
+        for ref, val in zip((ox, oy, oz), outs):
+            ref[:, :, :] = val
 
-    spec = lambda: pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bs = lambda: pl.BlockSpec(
+        (L, S_SUB, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
     fn = pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((L, n_tiles * T), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((L, S_SUB, n_tiles * T), U32) for _ in range(3)
         ),
         grid=(n_tiles,),
-        in_specs=[spec() for _ in range(3)],
-        out_specs=tuple(spec() for _ in range(3)),
+        in_specs=[bs() for _ in range(3)],
+        out_specs=tuple(bs() for _ in range(3)),
     )
     return jax.jit(fn)
 
 
-TILE = 1024
-SMALL_TILE = 512
-
-
 def _flatten(coords):
-    """(..., L) coord arrays -> ((L, Npad) planes, unflatten info).
-    Lane counts quantize to two tile shapes (see pallas_field.binop_flat)."""
+    """(..., L) coord arrays -> ((L, S, cols) planes, unflatten info)."""
     shape = coords[0].shape
     n = 1
     for s in shape[:-1]:
         n *= s
     flat = [c.reshape(n, FQ.L) for c in coords]
-    tile = SMALL_TILE if n <= SMALL_TILE else TILE
-    pad = (-n) % tile
-    if pad:
-        flat = [jnp.pad(c, ((0, pad), (0, 0))) for c in flat]
-    m = n + pad
-    return [c.T for c in flat], (shape, n, m, tile)
+    m = PF._padded_len(n)
+    if m != n:
+        flat = [jnp.pad(c, ((0, m - n), (0, 0))) for c in flat]
+    planes = []
+    T = None
+    for c in flat:
+        p, T = PF.to_planes(FQ, c)
+        planes.append(p)
+    return planes, (shape, n, T)
 
 
 def _unflatten(planes, info):
-    shape, n, m, _ = info
-    outs = []
-    for p in planes:
-        o = p.T
-        if m != n:
-            o = o[:n]
-        outs.append(o.reshape(shape))
-    return outs
+    shape, n, T = info
+    return [PF.from_planes(FQ, p, n, T).reshape(shape) for p in planes]
 
 
 def point_add_g1(P_coords, Q_coords):
@@ -227,13 +191,13 @@ def point_add_g1(P_coords, Q_coords):
     P_coords = [jnp.broadcast_to(c, shape) for c in P_coords]
     Q_coords = [jnp.broadcast_to(c, shape) for c in Q_coords]
     planes, info = _flatten(list(P_coords) + list(Q_coords))
-    _, _, m, tile = info
-    outs = _add_kernel(m // tile, tile)(*planes)
+    _, _, T = info
+    outs = _add_kernel(planes[0].shape[2] // T, T)(*planes)
     return _unflatten(list(outs), info)
 
 
 def point_double_g1(P_coords):
     planes, info = _flatten(list(P_coords))
-    _, _, m, tile = info
-    outs = _dbl_kernel(m // tile, tile)(*planes)
+    _, _, T = info
+    outs = _dbl_kernel(planes[0].shape[2] // T, T)(*planes)
     return _unflatten(list(outs), info)

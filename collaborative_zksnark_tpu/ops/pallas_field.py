@@ -1,19 +1,29 @@
 """Pallas TPU kernels for the field layer: fused Montgomery multiplication.
 
-The jnp path in algebra/field.py materializes every intermediate of the
-~80-op Montgomery pipeline in HBM — measured HBM-bound on TPU.  This kernel
-fuses the whole REDC pipeline in VMEM with a *limb-plane* layout:
+v2 design — CIOS-broadcast formulation on (L, S, T) blocks:
 
-    HBM layout: (L, N)  — limb index in sublanes, elements in lanes.
+  * HBM layout: (L, S, n_tiles*T) — limb index leading, elements split over
+    S sublanes x T lanes per tile.  Every vector op inside a kernel touches
+    (L, S, T) or (S, T) slabs, so all 8 VPU sublanes are busy.
+  * Montgomery REDC is the CIOS recurrence with the INNER limb loop expressed
+    as ONE broadcast multiply (a_i (1,S,T) * b (L,S,T)), and the accumulator
+    shifted one limb per outer step with static slices.  The outer loop is
+    unrolled (L iterations x ~16 vector ops) — the Mosaic body is a few
+    hundred ops instead of the ~10,000 of the schoolbook row formulation,
+    which is the difference between seconds and >10 minutes of kernel
+    compile per width variant (round-2 finding: the unrolled row kernels
+    made every new MSM/scan width a 10-minute Mosaic compile).
+  * Carries stay deferred: digits accumulate redundantly (< 2^23) and are
+    resolved once at the end with a relax + Kogge-Stone scan along the limb
+    axis.  Invariant matches algebra/field.py: canonical base-2^16 digits,
+    value in [0, 2p).
 
-With limbs as the leading axis, every per-limb operation is an unrolled
-Python loop over (1, T) vector rows: the convolution is L^2 lane-parallel
-multiply-accumulates, and the Kogge-Stone carry network is pure list
-manipulation — no in-register shuffles or gathers at all.
+The in-kernel helpers (`k_mul`, `k_add`, `k_sub`, `k_is_zero`, `k_select`)
+are pure functions on (L, S, T) jnp values, reused by the fused curve
+kernels (ops/pallas_curve.py).
 
-Dispatch: field.mul consults `use_pallas()` (TPU backend + flag) and routes
-(..., L) arrays through a transpose + this kernel.  Correctness contract is
-identical to field.mul (inputs [0,2p) canonical digits, output [0,2p)).
+Reference semantics: ark-ff Montgomery arithmetic (SURVEY.md §2.2,
+algebra/ff fork); this file is the TPU "ff-asm" analog.
 """
 
 from __future__ import annotations
@@ -32,280 +42,255 @@ from ..algebra import field as F
 LIMB_BITS = F.LIMB_BITS
 MASK = F.MASK
 B = F.B
+U32 = jnp.uint32
+
+# Tile geometry: elements per tile = S * T.
+S_SUB = 8
+T_BIG = 512
+T_SMALL = 128
+TILE_ELEMS = S_SUB * T_BIG          # 4096
+SMALL_ELEMS = S_SUB * T_SMALL       # 1024
 
 
-def _mont_mul_rows(spec, a_rows, b_rows):
-    """Montgomery product on lists of (1, T) uint32 limb rows (values in
-    [0, 2p), canonical digits).  Mirrors field.mul's single-scan REDC."""
-    L = spec.L
-    np_ = spec.nprime_limbs
-    pp = spec.p_limbs
+# ---------------------------------------------------------------------------
+# In-kernel field algebra on (L, S, T) values
+# ---------------------------------------------------------------------------
 
-    def conv(x_rows, y_rows, y_const=None, n_out=None):
-        """Full product accumulation with hi/lo split; y may be a constant
-        numpy limb vector instead of rows."""
-        K = n_out if n_out is not None else len(x_rows) + L
-        acc = [None] * K
-        for i, xi in enumerate(x_rows):
-            for j in range(L):
-                k = i + j
-                if k >= K and k + 1 >= K:
-                    continue
-                if y_const is not None:
-                    c = int(y_const[j])
-                    if c == 0:
-                        continue
-                    p = xi * np.uint32(c)
-                else:
-                    p = xi * y_rows[j]
-                lo = p & MASK
-                hi = p >> LIMB_BITS
-                if k < K:
-                    acc[k] = lo if acc[k] is None else acc[k] + lo
-                if k + 1 < K:
-                    acc[k + 1] = hi if acc[k + 1] is None else acc[k + 1] + hi
-        zero = jnp.zeros_like(x_rows[0])
-        return [zero if a is None else a for a in acc]
-
-    def relax2(rows, n_out):
-        for _ in range(2):
-            out = []
-            carry = None
-            for r in rows[:n_out]:
-                v = r & MASK
-                if carry is not None:
-                    v = v + carry
-                out.append(v)
-                carry = r >> LIMB_BITS
-            rows = out
-        return rows
-
-    def carry_scan(rows):
-        """Kogge-Stone exact carry resolution; digits <= 2B-2 required."""
-        K = len(rows)
-        g = [(r >= B).astype(jnp.uint32) for r in rows]
-        p = [(r == (B - 1)).astype(jnp.uint32) for r in rows]
-        d = 1
-        while d < K:
-            ng = list(g)
-            npr = list(p)
-            for k in range(K - 1, d - 1, -1):
-                ng[k] = g[k] | (p[k] & g[k - d])
-                npr[k] = p[k] & p[k - d]
-            g, p = ng, npr
-            d <<= 1
-        out = []
-        for k in range(K):
-            v = rows[k]
-            if k > 0:
-                v = v + g[k - 1]
-            out.append(jnp.where(v >= B, v - B, v).astype(jnp.uint32))
-        return out
-
-    # T = a*b (2L redundant rows)
-    T_rows = conv(a_rows, b_rows)
-    # m = (T mod R) * N' mod R
-    t_low = relax2(T_rows[:L], L)
-    m = relax2(conv(t_low, None, y_const=np_, n_out=L), L)
-    # S = T + m*p ; one relax + scan; result = high L digits
-    S = conv(m, None, y_const=pp)
-    S = [s + t for s, t in zip(S, T_rows)]
-    # relax once (digits < 2^23 -> <= 2B-2)
-    relaxed = []
-    carry = None
-    for r in S:
-        v = r & MASK
-        if carry is not None:
-            v = v + carry
-        relaxed.append(v)
-        carry = r >> LIMB_BITS
-    # the final carry out of limb 2L-1 is guaranteed zero (S < B^{2L})
-    digits = carry_scan(relaxed)
-    return digits[L : 2 * L]
+def _pad_axis0(x, lo, hi, const=0):
+    pads = [(lo, hi)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pads, constant_values=const)
 
 
-def _carry_scan_rows(rows):
-    """Kogge-Stone exact carry resolution on (1,T) rows; digits <= 2B-2.
-    Returns (digit rows, carry_out_row)."""
-    K = len(rows)
-    g = [(r >= B).astype(jnp.uint32) for r in rows]
-    p = [(r == (B - 1)).astype(jnp.uint32) for r in rows]
+def _ks_carry(acc, K_out=None):
+    """Redundant digits (< 2^31 each) -> canonical digits (< 2^16), value
+    preserved mod B^K.  Relax twice, then Kogge-Stone generate/propagate
+    along axis 0.  Returns (digits, carry_out_of_top)."""
+    top = jnp.zeros_like(acc[0])
+    for _ in range(2):
+        lo = acc & MASK
+        hi = acc >> LIMB_BITS
+        acc = lo.at[1:].add(hi[:-1])
+        top = top | hi[-1]
+    K = acc.shape[0]
+    g = (acc >= B).astype(U32)
+    p = (acc == (B - 1)).astype(U32)
     d = 1
     while d < K:
-        ng = list(g)
-        npr = list(p)
-        for k in range(K - 1, d - 1, -1):
-            ng[k] = g[k] | (p[k] & g[k - d])
-            npr[k] = p[k] & p[k - d]
-        g, p = ng, npr
+        gs = _pad_axis0(g[:-d], d, 0)
+        ps = _pad_axis0(p[:-d], d, 0, const=1)
+        g = g | (p & gs)
+        p = p & ps
         d <<= 1
-    out = []
-    for k in range(K):
-        v = rows[k]
-        if k > 0:
-            v = v + g[k - 1]
-        out.append(jnp.where(v >= B, v - B, v).astype(jnp.uint32))
-    return out, g[K - 1]
+    carry_in = _pad_axis0(g[:-1], 1, 0)
+    out = acc + carry_in
+    out = jnp.where(out >= B, out - B, out).astype(U32)
+    if K_out is not None:
+        out = out[:K_out]
+    return out, (g[-1] | top)
 
 
-def _ge_sub_rows(spec, rows, const_limbs):
-    """rows (canonical digits, value < 2*const) minus const if >=."""
-    comp = [np.uint32(MASK - int(c)) for c in const_limbs]
-    t = [r + c for r, c in zip(rows, comp)]
-    t[0] = t[0] + np.uint32(1)
-    # relax once, capturing the top limb's high bits (part of carry-out)
-    relaxed = []
-    carry = None
-    for r in t:
-        v = r & MASK
-        if carry is not None:
-            v = v + carry
-        relaxed.append(v)
-        carry = r >> LIMB_BITS
-    top_hi = carry
-    d, co = _carry_scan_rows(relaxed)
-    take = ((top_hi | co) != 0)
-    return [jnp.where(take, x, orig) for x, orig in zip(d, rows)]
+def _const_col(limbs, extra_dims):
+    """numpy limb vector -> (L, 1, 1, ...) broadcastable device constant."""
+    return jnp.asarray(
+        np.asarray(limbs, np.uint32).reshape((len(limbs),) + (1,) * extra_dims)
+    )
 
 
-def _add_rows(spec, a_rows, b_rows):
-    s = [x + y for x, y in zip(a_rows, b_rows)]
-    d, _ = _carry_scan_rows(s)
-    return _ge_sub_rows(spec, d, spec.twop_limbs)
+def _ge_sub_const(spec, a, const_limbs):
+    """Canonical a (value < 2*const) -> a - const if a >= const else a."""
+    comp = _const_col([MASK - int(c) for c in const_limbs], a.ndim - 1)
+    t = a + comp
+    t = t.at[0].add(1)
+    # one relax round; capture the top limb's high bits (part of carry-out)
+    lo = t & MASK
+    hi = t >> LIMB_BITS
+    top_hi = hi[-1]
+    t = lo.at[1:].add(hi[:-1])
+    d, co = _ks_carry(t)
+    take = (top_hi | co) != 0
+    return jnp.where(take[None], d, a)
 
 
-def _sub_rows(spec, a_rows, b_rows):
-    twop = spec.twop_limbs
-    t = [
-        x + (np.uint32(MASK) - y) + np.uint32(int(c))
-        for x, y, c in zip(a_rows, b_rows, twop)
-    ]
-    t[0] = t[0] + np.uint32(1)
-    relaxed = []
-    carry = None
-    for r in t:
-        v = r & MASK
-        if carry is not None:
-            v = v + carry
-        relaxed.append(v)
-        carry = r >> LIMB_BITS  # top carry dropped: mod B^L
-    d, _ = _carry_scan_rows(relaxed)
-    return _ge_sub_rows(spec, d, twop)
+def k_add(spec, a, b):
+    """(L, S, T) + (L, S, T), values in [0,2p) -> [0,2p)."""
+    s = a + b
+    d, _ = _ks_carry(s)
+    return _ge_sub_const(spec, d, spec.twop_limbs)
 
+
+def k_sub(spec, a, b):
+    """a - b + 2p (complement addition mod B^L), then conditional -2p."""
+    twop = _const_col(spec.twop_limbs, a.ndim - 1)
+    t = a + (MASK - b) + twop
+    t = t.at[0].add(1)
+    # mod B^L: two relax rounds DROP the top carry (complement arithmetic)
+    for _ in range(2):
+        lo = t & MASK
+        hi = t >> LIMB_BITS
+        t = lo.at[1:].add(hi[:-1])
+    d, _ = _ks_carry(t)
+    return _ge_sub_const(spec, d, spec.twop_limbs)
+
+
+def k_dbl(spec, a):
+    return k_add(spec, a, a)
+
+
+def k_mul(spec, a, b, unroll: bool = True):
+    """Montgomery product REDC(a*b) via CIOS: inputs/outputs canonical
+    digits with values in [0, 2p).
+
+    Digit-growth bound: each outer step adds lo+hi of a_i*b and of m*p
+    (each pair <= 2(B-1)) to a position, and a position survives at most L
+    shifts -> digits < 4*B*L < 2^23; u32-safe, one final carry resolution.
+    """
+    L = spec.L
+    rest = a.shape[1:]
+    np0 = np.uint32(int(spec.nprime_limbs[0]))
+    p_col = _const_col(spec.p_limbs, a.ndim - 1)
+    zero_row = jnp.zeros((1,) + rest, U32)
+
+    def step(ai, acc):
+        prod = ai * b                                   # (L, S, T): all j
+        t0 = (acc[0] + (prod[0] & MASK)) & MASK         # low 16 bits first —
+        m = (t0 * np0) & MASK                           # the product is u32-safe
+        mp = m[None] * p_col                            # (L, S, T)
+        lo = (prod & MASK) + (mp & MASK)
+        hi = (prod >> LIMB_BITS) + (mp >> LIMB_BITS)
+        acc = acc.at[:L].add(lo)
+        acc = acc.at[1 : L + 1].add(hi)
+        carry = acc[0] >> LIMB_BITS                     # acc[0] % B == 0
+        acc = jnp.concatenate([acc[1:], zero_row], axis=0)
+        acc = acc.at[0].add(carry)
+        return acc
+
+    acc = jnp.zeros((L + 1,) + rest, U32)
+    if unroll:
+        for i in range(L):
+            acc = step(a[i : i + 1], acc)
+    else:
+        def fbody(i, acc):
+            ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=0)
+            return step(ai, acc)
+
+        acc = jax.lax.fori_loop(0, L, fbody, acc)
+    out, _ = _ks_carry(acc, K_out=L)
+    return out
+
+
+def k_sqr(spec, a, unroll: bool = True):
+    return k_mul(spec, a, a, unroll)
+
+
+def k_mul_small(spec, a, k: int):
+    """Multiply by a small public constant via double-and-add."""
+    assert k >= 1
+    acc = None
+    base = a
+    while k:
+        if k & 1:
+            acc = base if acc is None else k_add(spec, acc, base)
+        k >>= 1
+        if k:
+            base = k_add(spec, base, base)
+    return acc
+
+
+def k_is_zero(spec, a):
+    """Value-zero test under the [0,2p) representation: digits all zero or
+    equal to p.  Returns (S, T) bool."""
+    p_col = _const_col(spec.p_limbs, a.ndim - 1)
+    return jnp.all(a == 0, axis=0) | jnp.all(a == p_col, axis=0)
+
+
+def k_select(mask, a, b):
+    """mask: (S, T) bool; a, b: (L, S, T)."""
+    return jnp.where(mask[None], a, b)
+
+
+def k_one(spec, like):
+    return jnp.broadcast_to(
+        _const_col(spec.one_mont, like.ndim - 1), like.shape
+    ).astype(U32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel factories + dispatch
+# ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _binop_kernel_grid(spec, op: str, n_tiles: int, T: int):
+def _binop_kernel(spec, op: str, n_tiles: int, T: int):
     L = spec.L
-    row_fn = {"add": _add_rows, "sub": _sub_rows, "mul": _mont_mul_rows}[op]
+    impl = {
+        "add": lambda a, b: k_add(spec, a, b),
+        "sub": lambda a, b: k_sub(spec, a, b),
+        "mul": lambda a, b: k_mul(spec, a, b, unroll=True),
+    }[op]
 
     def kernel(a_ref, b_ref, o_ref):
-        a_rows = [a_ref[i : i + 1, :] for i in range(L)]
-        b_rows = [b_ref[i : i + 1, :] for i in range(L)]
-        out = row_fn(spec, a_rows, b_rows)
-        for i in range(L):
-            o_ref[i : i + 1, :] = out[i]
+        o_ref[:, :, :] = impl(a_ref[:, :, :], b_ref[:, :, :])
 
+    bs = lambda: pl.BlockSpec(
+        (L, S_SUB, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
     fn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n_tiles * T), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, S_SUB, n_tiles * T), U32),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        in_specs=[bs(), bs()],
+        out_specs=bs(),
     )
     return jax.jit(fn)
 
 
-SMALL_TILE = 512
+def to_planes(spec, flat):
+    """(n, L) element-major (n = n_tiles*S*T) -> (L, S, n_tiles*T) planes."""
+    n = flat.shape[0]
+    if n <= SMALL_ELEMS:
+        T = T_SMALL
+    else:
+        T = T_BIG
+    n_tiles = n // (S_SUB * T)
+    x = flat.reshape(n_tiles, S_SUB, T, spec.L)
+    return x.transpose(3, 1, 0, 2).reshape(spec.L, S_SUB, n_tiles * T), T
+
+
+def from_planes(spec, planes, n, T):
+    """(L, S, n_tiles*T) -> (n, L)."""
+    L = spec.L
+    cols = planes.shape[2]
+    n_tiles = cols // T
+    x = planes.reshape(L, S_SUB, n_tiles, T).transpose(2, 1, 3, 0)
+    return x.reshape(n_tiles * S_SUB * T, L)[:n]
+
+
+def _padded_len(n: int) -> int:
+    if n <= SMALL_ELEMS:
+        return SMALL_ELEMS
+    return -(-n // TILE_ELEMS) * TILE_ELEMS
 
 
 def binop_flat(spec, op: str, a, b):
     """Dispatch an (..., L) binary field op through the fused kernels.
 
-    Lane counts are quantized to exactly TWO tile shapes (SMALL_TILE for
-    small batches, TILE-multiples for large) so the whole framework compiles
-    only two Mosaic kernel variants per op/field — per-size kernels would
-    cost minutes of compile each."""
+    Lane counts quantize to TWO tile classes (one (8,128) tile for small
+    batches; a grid of (8,512) tiles for large) so the framework compiles
+    only two Mosaic variants per op/field."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape).reshape(-1, spec.L)
     b = jnp.broadcast_to(b, shape).reshape(-1, spec.L)
     n = a.shape[0]
-    t = SMALL_TILE if n <= SMALL_TILE else TILE
-    pad = (-n) % t
-    if pad:
-        a = jnp.pad(a, ((0, pad), (0, 0)))
-        b = jnp.pad(b, ((0, pad), (0, 0)))
-    m = a.shape[0]
-    out = _binop_kernel_grid(spec, op, m // t, t)(a.T, b.T).T
-    if pad:
-        out = out[:n]
-    return out.reshape(shape)
-
-
-@functools.lru_cache(maxsize=None)
-def _mul_kernel(spec, T: int):
-    L = spec.L
-
-    def kernel(a_ref, b_ref, o_ref):
-        a_rows = [a_ref[i : i + 1, :] for i in range(L)]
-        b_rows = [b_ref[i : i + 1, :] for i in range(L)]
-        out = _mont_mul_rows(spec, a_rows, b_rows)
-        for i in range(L):
-            o_ref[i : i + 1, :] = out[i]
-
-    fn = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((L, T), jnp.uint32),
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((L, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    )
-    return jax.jit(fn)
-
-
-@functools.lru_cache(maxsize=None)
-def _mul_kernel_grid(spec, n_tiles: int, T: int):
-    L = spec.L
-
-    def kernel(a_ref, b_ref, o_ref):
-        a_rows = [a_ref[i : i + 1, :] for i in range(L)]
-        b_rows = [b_ref[i : i + 1, :] for i in range(L)]
-        out = _mont_mul_rows(spec, a_rows, b_rows)
-        for i in range(L):
-            o_ref[i : i + 1, :] = out[i]
-
-    fn = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n_tiles * T), jnp.uint32),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((L, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-    )
-    return jax.jit(fn)
-
-
-TILE = 2048
-
-
-def mul_planes(spec, aT, bT):
-    """(L, N) x (L, N) -> (L, N) Montgomery product via the fused kernel.
-    N must be a multiple of 128; tiles of TILE lanes."""
-    L, N = aT.shape
-    if N % TILE == 0:
-        return _mul_kernel_grid(spec, N // TILE, TILE)(aT, bT)
-    return _mul_kernel(spec, N)(aT, bT)
+    m = _padded_len(n)
+    if m != n:
+        a = jnp.pad(a, ((0, m - n), (0, 0)))
+        b = jnp.pad(b, ((0, m - n), (0, 0)))
+    ap, T = to_planes(spec, a)
+    bp, _ = to_planes(spec, b)
+    out = _binop_kernel(spec, op, ap.shape[2] // T, T)(ap, bp)
+    return from_planes(spec, out, n, T).reshape(shape)
 
 
 def mul_flat(spec, a, b):
-    """(..., L) inputs -> fused kernel with transposes at the boundary."""
     return binop_flat(spec, "mul", a, b)
 
 
