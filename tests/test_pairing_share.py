@@ -125,3 +125,20 @@ def test_gsz_gt_degree_abort():
     gt.vals[2] = H.fq12_mul(gt.vals[2], H.pairing(H.G1_GEN, H.G2_GEN))
     pgs.gt_reveal(sch, gt)
     assert not ctx.checks_ok()
+
+
+def test_mul_field_group_laws():
+    """MulFieldGroup: Fq12* as an additive Group (ref group.rs:21-188) —
+    group laws + scalar action distributivity."""
+    from collaborative_zksnark_tpu.mpc.mul_group import MulFieldGroup
+
+    g = MulFieldGroup(H.pairing(H.G1_GEN, H.G2_GEN))
+    h = MulFieldGroup(H.pairing(H.G1.scalar_mul(H.G1_GEN, 3), H.G2_GEN))
+    assert g.add(MulFieldGroup.zero()).val == g.val
+    assert g.add(g.neg()).is_zero()
+    assert g.add(h).val == h.add(g).val
+    assert g.double().val == g.scale(2).val
+    # (a+b)*k == a*k + b*k
+    assert g.add(h).scale(5).val == g.scale(5).add(h.scale(5)).val
+    # e(G1,G2)^3 == e(3*G1, G2)
+    assert g.scale(3).val == h.val
