@@ -41,6 +41,7 @@ def main(argv=None):
             ".jax_cache",
         ),
     )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import numpy as np
 

@@ -59,6 +59,7 @@ def main(argv=None):
             ".jax_cache",
         ),
     )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.distributed.initialize(
         coordinator_address=hosts["coordinator"],
         num_processes=n_parties,

@@ -50,6 +50,11 @@ from .curve import (
 
 FR_BITS = 253
 
+# Cap on flat (window-group x points) slots held live by one Pippenger
+# group — bounds peak HBM (~288 B/slot for G1 + scan temporaries).
+# Tests shrink this to force multi-group execution.
+_CHUNK_SLOTS = 1 << 22
+
 
 def _scalar_bits_standard(scalars_mont):
     """Montgomery-form Fr scalars (N, L) -> canonical standard-form limbs."""
@@ -214,13 +219,32 @@ def _pippenger_kernel(fld, c):
         n = points.x.shape[0]
         sc = _scalar_bits_standard(scalars_mont)
         digs = _window_digits(sc, c, n_windows)            # (W, N)
-        keys = digs + (jnp.arange(n_windows, dtype=jnp.int32)[:, None] << c)
-        order = jnp.argsort(keys.reshape(-1))              # (W*N,)
-        keys_sorted = jnp.take(keys.reshape(-1), order)
-        pts_sorted = _gather_point(points, order % n)
-        prefix = _prefix_scan_points(fld, pts_sorted)
-        buckets = _bucket_sums_flat(fld, prefix, keys_sorted, n_windows, c)
-        results = _weighted_bucket_totals(fld, buckets)    # (W, ...)
+
+        # Window chunking bounds peak HBM: the flat gathered+scanned point
+        # arrays are (G*N, ...) per group (~288 B/slot for G1), so cap
+        # G*N at ~2^22 slots (~1.2 GB live, ~3 GB with scan temporaries).
+        G = max(1, min(n_windows, _CHUNK_SLOTS // max(n, 1)))
+        groups = -(-n_windows // G)
+
+        def run_group(digs_g, w_count):
+            keys = digs_g + (jnp.arange(w_count, dtype=jnp.int32)[:, None] << c)
+            order = jnp.argsort(keys.reshape(-1))          # (G*N,)
+            keys_sorted = jnp.take(keys.reshape(-1), order)
+            pts_sorted = _gather_point(points, order % n)
+            prefix = _prefix_scan_points(fld, pts_sorted)
+            buckets = _bucket_sums_flat(fld, prefix, keys_sorted, w_count, c)
+            return _weighted_bucket_totals(fld, buckets)   # (G, ...)
+
+        parts = []
+        for g in range(groups):
+            lo = g * G
+            w_count = min(G, n_windows - lo)
+            parts.append(run_group(digs[lo : lo + w_count], w_count))
+        results = JacPoint(
+            jnp.concatenate([p.x for p in parts], axis=0),
+            jnp.concatenate([p.y for p in parts], axis=0),
+            jnp.concatenate([p.z for p in parts], axis=0),
+        )                                                  # (W, ...)
 
         def body(i, acc):
             w = n_windows - 2 - i

@@ -108,16 +108,21 @@ class Radix2Domain:
         n = self.n
         rest = x.shape[1:]
         extra = len(rest) - 1  # batch dims between n and L
+        use_fused = F._pallas_ok()
         for s in range(1, self.log_n + 1):
             m = 1 << s
             h = m >> 1
             xb = x.reshape((n // m, m) + rest)
             lo = xb[:, :h]
             tw = tws[s - 1].reshape((1, h) + (1,) * extra + (spec.L,))
-            hi = F.mul(spec, xb[:, h:], tw)
-            x = jnp.concatenate(
-                [F.add(spec, lo, hi), F.sub(spec, lo, hi)], axis=1
-            ).reshape((n,) + rest)
+            if use_fused:
+                from . import pallas_field
+
+                a, b = pallas_field.butterfly_flat(spec, lo, xb[:, h:], tw)
+            else:
+                hi = F.mul(spec, xb[:, h:], tw)
+                a, b = F.add(spec, lo, hi), F.sub(spec, lo, hi)
+            x = jnp.concatenate([a, b], axis=1).reshape((n,) + rest)
         return x
 
     def fft(self, coeffs):

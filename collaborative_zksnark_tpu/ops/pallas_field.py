@@ -290,6 +290,55 @@ def binop_flat(spec, op: str, a, b):
     return from_planes(spec, out, n, T).reshape(shape)
 
 
+@functools.lru_cache(maxsize=None)
+def _butterfly_kernel(spec, n_tiles: int, T: int):
+    """(lo, hi, tw) -> (lo + hi*tw, lo - hi*tw): one launch per NTT stage
+    instead of three (mul, add, sub) — a Cooley-Tukey butterfly is the NTT
+    hot loop (ref algebra/poly/src/domain/radix2/fft.rs butterflies)."""
+    L = spec.L
+
+    def kernel(lo_ref, hi_ref, tw_ref, a_ref, b_ref):
+        h = k_mul(spec, hi_ref[:, :, :], tw_ref[:, :, :], unroll=True)
+        lo = lo_ref[:, :, :]
+        a_ref[:, :, :] = k_add(spec, lo, h)
+        b_ref[:, :, :] = k_sub(spec, lo, h)
+
+    bs = lambda: pl.BlockSpec(
+        (L, S_SUB, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, S_SUB, n_tiles * T), U32) for _ in range(2)
+        ),
+        grid=(n_tiles,),
+        in_specs=[bs(), bs(), bs()],
+        out_specs=tuple(bs() for _ in range(2)),
+    )
+    return jax.jit(fn)
+
+
+def butterfly_flat(spec, lo, hi, tw):
+    """Batched butterfly on (..., L) arrays (tw broadcastable to hi)."""
+    shape = jnp.broadcast_shapes(lo.shape, hi.shape, tw.shape)
+    lo = jnp.broadcast_to(lo, shape).reshape(-1, spec.L)
+    hi = jnp.broadcast_to(hi, shape).reshape(-1, spec.L)
+    tw = jnp.broadcast_to(tw, shape).reshape(-1, spec.L)
+    n = lo.shape[0]
+    m = _padded_len(n)
+    if m != n:
+        pad = lambda x: jnp.pad(x, ((0, m - n), (0, 0)))
+        lo, hi, tw = pad(lo), pad(hi), pad(tw)
+    lp, T = to_planes(spec, lo)
+    hp, _ = to_planes(spec, hi)
+    tp, _ = to_planes(spec, tw)
+    a, b = _butterfly_kernel(spec, lp.shape[2] // T, T)(lp, hp, tp)
+    return (
+        from_planes(spec, a, n, T).reshape(shape),
+        from_planes(spec, b, n, T).reshape(shape),
+    )
+
+
 def mul_flat(spec, a, b):
     return binop_flat(spec, "mul", a, b)
 

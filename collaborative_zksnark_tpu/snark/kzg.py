@@ -24,6 +24,7 @@ Verification is host-side pairings (native C++ when available).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -214,13 +215,46 @@ def _pow_table_mont(x: int, n: int):
     return FR.to_device(pows)
 
 
+@functools.lru_cache(maxsize=None)
+def _eval_kernel(shape):
+    """Shape-cached jit: the eager associative_scan/fold graphs otherwise
+    re-trace + XLA-mini-compile at EVERY opening (~0.4 s each on CPU —
+    dominated the Plonk/Marlin prove walls)."""
+
+    @jax.jit
+    def f(arr, xp):
+        return F.fold_sum(FR, F.mul(FR, arr, xp), axis=-2)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _witness_kernel(shape):
+    @jax.jit
+    def f(arr, xp, xinv_shift):
+        u = F.mul(FR, arr, xp)                       # c_j x^j
+        rev = jnp.flip(u, axis=-2)
+        suf = jnp.flip(
+            jax.lax.associative_scan(
+                lambda a, b: F.add(FR, a, b), rev, axis=-2
+            ),
+            axis=-2,
+        )                                            # T_k = sum_{j>=k} c_j x^j
+        t_next = suf[..., 1:, :]                     # T_{i+1}
+        return F.mul(FR, t_next, xinv_shift)
+
+    return f
+
+
 def eval_share(scheme, coeffs_sh, x: int):
     """p(x) for public x: pointwise scale by x^i + fold — share-local."""
     n = _n_coeffs(scheme, coeffs_sh)
     xp = _pow_table_mont(x, n)
 
     def f(arr):
-        return F.fold_sum(FR, F.mul(FR, arr, xp), axis=-2)
+        if isinstance(arr, jax.core.Tracer):
+            return F.fold_sum(FR, F.mul(FR, arr, xp), axis=-2)
+        return _eval_kernel(arr.shape)(arr, xp)
 
     return scheme.lin_map(f, coeffs_sh)
 
@@ -240,16 +274,17 @@ def witness_poly(scheme, coeffs_sh, x: int):
     xinv_shift = FR.to_device(invs)
 
     def f(arr):
-        u = F.mul(FR, arr, xp)                       # c_j x^j
-        rev = jnp.flip(u, axis=-2)
-        suf = jnp.flip(
-            jax.lax.associative_scan(
-                lambda a, b: F.add(FR, a, b), rev, axis=-2
-            ),
-            axis=-2,
-        )                                            # T_k = sum_{j>=k} c_j x^j
-        t_next = suf[..., 1:, :]                     # T_{i+1}
-        return F.mul(FR, t_next, xinv_shift)
+        if isinstance(arr, jax.core.Tracer):
+            arr_xp = F.mul(FR, arr, xp)
+            rev = jnp.flip(arr_xp, axis=-2)
+            suf = jnp.flip(
+                jax.lax.associative_scan(
+                    lambda a, b: F.add(FR, a, b), rev, axis=-2
+                ),
+                axis=-2,
+            )
+            return F.mul(FR, suf[..., 1:, :], xinv_shift)
+        return _witness_kernel(arr.shape)(arr, xp, xinv_shift)
 
     return scheme.lin_map(f, coeffs_sh)
 

@@ -111,8 +111,19 @@ def _distribute_powers(coeffs, g: int):
 
 
 def _public_evals_inv(vals):
-    """Batch inverse of a public int list -> device Montgomery array."""
-    invs = [pow(v % P, P - 2, P) for v in vals]
+    """Batch inverse of a public int list -> device Montgomery array.
+    Montgomery's trick: one modpow + 3(n-1) host mults (a per-element
+    pow here cost ~1 s per call at 2^11 — it dominated the CPU prove)."""
+    n = len(vals)
+    safe = [v % P if v % P != 0 else 1 for v in vals]
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(safe):
+        prefix[i + 1] = prefix[i] * v % P
+    inv_all = pow(prefix[n], P - 2, P)
+    invs = [0] * n
+    for i in range(n - 1, -1, -1):
+        invs[i] = prefix[i] * inv_all % P if vals[i] % P != 0 else 0
+        inv_all = inv_all * safe[i] % P
     return FR.to_device(invs)
 
 

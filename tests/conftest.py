@@ -21,4 +21,4 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # recompiling them on every pytest run dominates wall-clock otherwise.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
