@@ -288,6 +288,78 @@ def point_neg(fld, P: JacPoint) -> JacPoint:
     return JacPoint(P.x, fld.neg(P.y), P.z)
 
 
+# ---------------------------------------------------------------------------
+# Homogeneous-projective points with COMPLETE addition (a=0, b=1 — G1).
+#
+# The MSM hot loops (prefix scans over sorted points) use these instead of
+# the branchless Jacobian add: Renes-Costello-Batina 2016 Algorithm 7 is
+# valid for ALL inputs in the odd-order subgroup — identity, doubling, and
+# inverse pairs included — at 12 muls with no zero-tests or selects (the
+# Jacobian kernel evaluates both add and double paths: ~25 muls + 4 tests).
+# Identity = (0, 1, 0).  Same JacPoint container; semantics differ.
+# ---------------------------------------------------------------------------
+
+def proj_zero(fld, shape_like: JacPoint) -> JacPoint:
+    one = fld.one_like(shape_like.x)
+    zero = fld.zeros_like(shape_like.x)
+    return JacPoint(zero, one, zero)
+
+
+def jac_to_proj(fld, P: JacPoint) -> JacPoint:
+    """Jacobian (X, Y, Z) -> projective (X Z, Y, Z^3); identity (Z=0),
+    whatever its X/Y, maps to (0, 1, 0) explicitly."""
+    Z2 = fld.mul(P.z, P.z)
+    Xp = fld.mul(P.x, P.z)
+    Zp = fld.mul(Z2, P.z)
+    O = proj_zero(fld, P)
+    inf = fld.is_zero(P.z)
+    sel = fld.select
+    return JacPoint(sel(inf, O.x, Xp), sel(inf, O.y, P.y), sel(inf, O.z, Zp))
+
+
+def proj_to_jac(fld, P: JacPoint) -> JacPoint:
+    """Projective (X, Y, Z) -> Jacobian (X Z, Y Z^2, Z).  The projective
+    identity (0, y, 0) lands on Z=0 (Jacobian identity) automatically."""
+    Z2 = fld.mul(P.z, P.z)
+    return JacPoint(fld.mul(P.x, P.z), fld.mul(P.y, Z2), P.z)
+
+
+def point_add_proj(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
+    """Complete projective add (RCB16 alg 7, a=0, b3=3).  G1 only."""
+    assert fld is FQ_OPS, "complete projective formulas are G1-only (b3=3)"
+    if F._pallas_ok():
+        from . import pallas_curve
+
+        x, y, z = pallas_curve.point_add_proj_g1(
+            (P.x, P.y, P.z), (Q.x, Q.y, Q.z)
+        )
+        return JacPoint(x, y, z)
+    t0, t1, t2, a3, a4, a5 = fld.mul_many(
+        [
+            (P.x, Q.x),
+            (P.y, Q.y),
+            (P.z, Q.z),
+            (fld.add(P.x, P.y), fld.add(Q.x, Q.y)),
+            (fld.add(P.y, P.z), fld.add(Q.y, Q.z)),
+            (fld.add(P.x, P.z), fld.add(Q.x, Q.z)),
+        ]
+    )
+    t3 = fld.sub(fld.sub(a3, t0), t1)           # X1Y2 + X2Y1
+    t4 = fld.sub(fld.sub(a4, t1), t2)           # Y1Z2 + Y2Z1
+    t5 = fld.sub(fld.sub(a5, t0), t2)           # X1Z2 + X2Z1
+    m = fld.mul_small(t0, 3)
+    w = fld.mul_small(t2, 3)                    # b3 Z1Z2
+    s = fld.add(t1, w)
+    d = fld.sub(t1, w)
+    v = fld.mul_small(t5, 3)                    # b3 (X1Z2+X2Z1)
+    x1, x2, y1, y2, z1, z2 = fld.mul_many(
+        [(t3, d), (t4, v), (d, s), (m, v), (t4, s), (t3, m)]
+    )
+    return JacPoint(
+        fld.sub(x1, x2), fld.add(y1, y2), fld.add(z1, z2)
+    )
+
+
 def point_select(fld, mask, P: JacPoint, Q: JacPoint) -> JacPoint:
     return JacPoint(*(fld.select(mask, a, b) for a, b in zip(P, Q)))
 

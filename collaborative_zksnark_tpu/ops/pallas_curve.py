@@ -110,6 +110,79 @@ def _point_double_planes(spec, X1, Y1, Z1, unroll=True):
     return Xd, Yd, Zd
 
 
+def _point_add_proj_planes(spec, X1, Y1, Z1, X2, Y2, Z2, unroll=True):
+    """COMPLETE homogeneous-projective addition for a=0, b=1 (BLS12-377 G1),
+    Renes-Costello-Batina 2016 Algorithm 7: 12 muls, no doubling path, no
+    identity/inverse selects — valid for ALL inputs in the odd-order
+    subgroup (identity = (0, 1, 0)).  This is the MSM hot-loop formula: the
+    branchless Jacobian kernel evaluates add + double paths and 4 zero-tests
+    (~25 muls); this one is ~2x lighter.
+    Ref behavior: ec/src/models/short_weierstrass_jacobian.rs add_assign —
+    same group law, different (complete) formulas."""
+    mul = lambda a, b: PF.k_mul(spec, a, b, unroll)
+    add = lambda a, b: PF.k_add(spec, a, b)
+    sub = lambda a, b: PF.k_sub(spec, a, b)
+    tri = lambda a: PF.k_mul_small(spec, a, 3)      # b3 = 3b = 3
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    a3 = mul(add(X1, Y1), add(X2, Y2))
+    a4 = mul(add(Y1, Z1), add(Y2, Z2))
+    a5 = mul(add(X1, Z1), add(X2, Z2))
+    t3 = sub(sub(a3, t0), t1)                       # X1Y2 + X2Y1
+    t4 = sub(sub(a4, t1), t2)                       # Y1Z2 + Y2Z1
+    t5 = sub(sub(a5, t0), t2)                       # X1Z2 + X2Z1
+    m = tri(t0)                                     # 3 X1X2
+    w = tri(t2)                                     # 3b Z1Z2
+    s = add(t1, w)
+    d = sub(t1, w)
+    v = tri(t5)                                     # 3b (X1Z2+X2Z1)
+    X3 = sub(mul(t3, d), mul(t4, v))
+    Y3 = add(mul(d, s), mul(m, v))
+    Z3 = add(mul(t4, s), mul(t3, m))
+    return X3, Y3, Z3
+
+
+@functools.lru_cache(maxsize=None)
+def _proj_add_kernel(n_tiles: int, T: int):
+    L = FQ.L
+
+    def kernel(px, py, pz, qx, qy, qz, ox, oy, oz):
+        outs = _point_add_proj_planes(
+            FQ,
+            px[:, :, :], py[:, :, :], pz[:, :, :],
+            qx[:, :, :], qy[:, :, :], qz[:, :, :],
+        )
+        for ref, val in zip((ox, oy, oz), outs):
+            ref[:, :, :] = val
+
+    bs = lambda: pl.BlockSpec(
+        (L, S_SUB, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, S_SUB, n_tiles * T), U32) for _ in range(3)
+        ),
+        grid=(n_tiles,),
+        in_specs=[bs() for _ in range(6)],
+        out_specs=tuple(bs() for _ in range(3)),
+    )
+    return jax.jit(fn)
+
+
+def point_add_proj_g1(P_coords, Q_coords):
+    """Complete projective add on (x,y,z) tuples of (..., L) arrays."""
+    shape = jnp.broadcast_shapes(P_coords[0].shape, Q_coords[0].shape)
+    P_coords = [jnp.broadcast_to(c, shape) for c in P_coords]
+    Q_coords = [jnp.broadcast_to(c, shape) for c in Q_coords]
+    planes, info = _flatten(list(P_coords) + list(Q_coords))
+    _, _, T = info
+    outs = _proj_add_kernel(planes[0].shape[2] // T, T)(*planes)
+    return _unflatten(list(outs), info)
+
+
 @functools.lru_cache(maxsize=None)
 def _add_kernel(n_tiles: int, T: int):
     L = FQ.L

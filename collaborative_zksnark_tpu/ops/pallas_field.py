@@ -61,16 +61,36 @@ def _pad_axis0(x, lo, hi, const=0):
     return jnp.pad(x, pads, constant_values=const)
 
 
+def _row(x, i):
+    """x[i] along axis 0 via static slice + squeeze: jnp integer indexing
+    lowers to dynamic_slice, which has no Pallas TPU lowering."""
+    if i < 0:
+        i += x.shape[0]
+    return jnp.squeeze(jax.lax.slice_in_dim(x, i, i + 1, axis=0), 0)
+
+
+def _shift_up1(x):
+    """x -> [0, x_0, ..., x_{K-2}] along axis 0 (pad top, drop last).
+    jnp.pad/concat instead of .at[].add — scatter-add has no Pallas TPU
+    lowering."""
+    return _pad_axis0(x[:-1], 1, 0)
+
+
+def _add_at0(x, v):
+    """x with v added to limb 0 only (concat form; no scatter)."""
+    return jnp.concatenate([x[0:1] + v, x[1:]], axis=0)
+
+
 def _ks_carry(acc, K_out=None):
     """Redundant digits (< 2^31 each) -> canonical digits (< 2^16), value
     preserved mod B^K.  Relax twice, then Kogge-Stone generate/propagate
     along axis 0.  Returns (digits, carry_out_of_top)."""
-    top = jnp.zeros_like(acc[0])
+    top = jnp.zeros_like(_row(acc, 0))
     for _ in range(2):
         lo = acc & MASK
         hi = acc >> LIMB_BITS
-        acc = lo.at[1:].add(hi[:-1])
-        top = top | hi[-1]
+        acc = lo + _shift_up1(hi)
+        top = top | _row(hi, -1)
     K = acc.shape[0]
     g = (acc >= B).astype(U32)
     p = (acc == (B - 1)).astype(U32)
@@ -86,26 +106,33 @@ def _ks_carry(acc, K_out=None):
     out = jnp.where(out >= B, out - B, out).astype(U32)
     if K_out is not None:
         out = out[:K_out]
-    return out, (g[-1] | top)
+    return out, (_row(g, -1) | top)
 
 
-def _const_col(limbs, extra_dims):
-    """numpy limb vector -> (L, 1, 1, ...) broadcastable device constant."""
-    return jnp.asarray(
-        np.asarray(limbs, np.uint32).reshape((len(limbs),) + (1,) * extra_dims)
+def _const_col(limbs, like):
+    """limb vector -> (L,) + like.shape[1:] constant, built from SCALAR
+    literals (per-limb full + concat) rather than one array constant:
+    Pallas kernels may not capture array-valued constants ("captures
+    constants [...]: you should pass them as inputs"), scalar literals
+    inline into the traced jaxpr, and Mosaic cannot broadcast (L,1,1)
+    vectors along minor dims — so each limb is materialized at the full
+    trailing shape directly (scalar->vector broadcast, which Mosaic
+    supports)."""
+    one = (1,) + like.shape[1:]
+    return jnp.concatenate(
+        [jnp.full(one, int(c), U32) for c in limbs], axis=0
     )
 
 
 def _ge_sub_const(spec, a, const_limbs):
     """Canonical a (value < 2*const) -> a - const if a >= const else a."""
-    comp = _const_col([MASK - int(c) for c in const_limbs], a.ndim - 1)
-    t = a + comp
-    t = t.at[0].add(1)
+    comp = _const_col([MASK - int(c) for c in const_limbs], a)
+    t = _add_at0(a + comp, 1)
     # one relax round; capture the top limb's high bits (part of carry-out)
     lo = t & MASK
     hi = t >> LIMB_BITS
-    top_hi = hi[-1]
-    t = lo.at[1:].add(hi[:-1])
+    top_hi = _row(hi, -1)
+    t = lo + _shift_up1(hi)
     d, co = _ks_carry(t)
     take = (top_hi | co) != 0
     return jnp.where(take[None], d, a)
@@ -120,14 +147,13 @@ def k_add(spec, a, b):
 
 def k_sub(spec, a, b):
     """a - b + 2p (complement addition mod B^L), then conditional -2p."""
-    twop = _const_col(spec.twop_limbs, a.ndim - 1)
-    t = a + (MASK - b) + twop
-    t = t.at[0].add(1)
+    twop = _const_col(spec.twop_limbs, a)
+    t = _add_at0(a + (MASK - b) + twop, 1)
     # mod B^L: two relax rounds DROP the top carry (complement arithmetic)
     for _ in range(2):
         lo = t & MASK
         hi = t >> LIMB_BITS
-        t = lo.at[1:].add(hi[:-1])
+        t = lo + _shift_up1(hi)
     d, _ = _ks_carry(t)
     return _ge_sub_const(spec, d, spec.twop_limbs)
 
@@ -147,22 +173,20 @@ def k_mul(spec, a, b, unroll: bool = True):
     L = spec.L
     rest = a.shape[1:]
     np0 = np.uint32(int(spec.nprime_limbs[0]))
-    p_col = _const_col(spec.p_limbs, a.ndim - 1)
+    p_col = _const_col(spec.p_limbs, a)
     zero_row = jnp.zeros((1,) + rest, U32)
 
     def step(ai, acc):
         prod = ai * b                                   # (L, S, T): all j
-        t0 = (acc[0] + (prod[0] & MASK)) & MASK         # low 16 bits first —
+        t0 = (_row(acc, 0) + (_row(prod, 0) & MASK)) & MASK  # low 16 bits —
         m = (t0 * np0) & MASK                           # the product is u32-safe
         mp = m[None] * p_col                            # (L, S, T)
         lo = (prod & MASK) + (mp & MASK)
         hi = (prod >> LIMB_BITS) + (mp >> LIMB_BITS)
-        acc = acc.at[:L].add(lo)
-        acc = acc.at[1 : L + 1].add(hi)
-        carry = acc[0] >> LIMB_BITS                     # acc[0] % B == 0
+        acc = acc + _pad_axis0(lo, 0, 1) + _pad_axis0(hi, 1, 0)
+        carry = _row(acc, 0) >> LIMB_BITS               # acc[0] % B == 0
         acc = jnp.concatenate([acc[1:], zero_row], axis=0)
-        acc = acc.at[0].add(carry)
-        return acc
+        return _add_at0(acc, carry)
 
     acc = jnp.zeros((L + 1,) + rest, U32)
     if unroll:
@@ -199,7 +223,7 @@ def k_mul_small(spec, a, k: int):
 def k_is_zero(spec, a):
     """Value-zero test under the [0,2p) representation: digits all zero or
     equal to p.  Returns (S, T) bool."""
-    p_col = _const_col(spec.p_limbs, a.ndim - 1)
+    p_col = _const_col(spec.p_limbs, a)
     return jnp.all(a == 0, axis=0) | jnp.all(a == p_col, axis=0)
 
 
@@ -209,9 +233,7 @@ def k_select(mask, a, b):
 
 
 def k_one(spec, like):
-    return jnp.broadcast_to(
-        _const_col(spec.one_mont, like.ndim - 1), like.shape
-    ).astype(U32)
+    return _const_col(spec.one_mont, like)
 
 
 # ---------------------------------------------------------------------------

@@ -124,3 +124,43 @@ def test_fixed_base_msm_g2():
     got = cv.g2_to_host(res)
     for i, k in enumerate(ks):
         assert got[i] == H.G2.scalar_mul(H.G2_GEN, k), i
+
+
+def test_proj_complete_add_matches_host():
+    """Complete projective add (RCB16 alg 7, the MSM hot-loop formula):
+    general adds, doubling via add(P,P), identity absorb, inverse pairs.
+    Ref group law: ec/src/models/short_weierstrass_jacobian.rs."""
+    rng = np.random.default_rng(21)
+    pts = _host_g1_points(rng, 8)
+    P = cv.g1_from_host(pts)
+    Pp = cv.jac_to_proj(cv.FQ_OPS, P)
+    A = cv.JacPoint(Pp.x[:4], Pp.y[:4], Pp.z[:4])
+    B = cv.JacPoint(Pp.x[4:], Pp.y[4:], Pp.z[4:])
+    got = cv.g1_to_host(cv.proj_to_jac(cv.FQ_OPS, cv.point_add_proj(cv.FQ_OPS, A, B)))
+    for i in range(4):
+        assert got[i] == H.G1.add(pts[i], pts[4 + i]), i
+    got = cv.g1_to_host(cv.proj_to_jac(cv.FQ_OPS, cv.point_add_proj(cv.FQ_OPS, A, A)))
+    for i in range(4):
+        assert got[i] == H.G1.double(pts[i]), i
+    O = cv.proj_zero(cv.FQ_OPS, A)
+    got = cv.g1_to_host(cv.proj_to_jac(cv.FQ_OPS, cv.point_add_proj(cv.FQ_OPS, A, O)))
+    for i in range(4):
+        assert got[i] == pts[i], i
+    # P + (-P) -> identity (z == 0 after conversion back to Jacobian)
+    s = cv.proj_to_jac(
+        cv.FQ_OPS, cv.point_add_proj(cv.FQ_OPS, A, cv.point_neg(cv.FQ_OPS, A))
+    )
+    assert np.asarray(F.is_zero(F.FQ, s.z)).all()
+
+
+def test_proj_pippenger_matches_jacobian():
+    rng = np.random.default_rng(22)
+    n = 32
+    pts = _host_g1_points(rng, n)
+    P = cv.g1_from_host(pts)
+    sc = F.rand(F.FR, np.random.default_rng(23), (n,))
+    r_jac = msm_mod.msm_pippenger(cv.FQ_OPS, P, sc, c=5, proj=False)
+    r_prj = msm_mod.msm_pippenger(cv.FQ_OPS, P, sc, c=5, proj=True)
+    a = cv.g1_to_host(cv.JacPoint(r_jac.x[None], r_jac.y[None], r_jac.z[None]))[0]
+    b = cv.g1_to_host(cv.JacPoint(r_prj.x[None], r_prj.y[None], r_prj.z[None]))[0]
+    assert a == b
