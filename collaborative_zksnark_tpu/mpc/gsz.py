@@ -43,18 +43,22 @@ P = C.R_MOD
 
 
 @functools.lru_cache(maxsize=None)
-def _party_domain(n: int):
+def _party_points(n: int) -> list:
+    """Shamir evaluation points for the party domain.  Powers of two (and
+    3) use roots of unity; ANY other count falls back to the points 1..n —
+    all party-domain transforms are explicit Vandermonde matrix products
+    (_party_vandermonde), so arbitrary distinct nonzero points work."""
     if n & (n - 1) == 0:
-        return ntt.get_radix2_domain(n)
-    assert n == 3, "GSZ party counts: powers of two, or 3"
-    return ntt.get_mixed_domain(n)
+        return ntt.get_radix2_domain(n).elements()
+    if n == 3:
+        return ntt.get_mixed_domain(n).elements()
+    return list(range(1, n + 1))
 
 
 @functools.lru_cache(maxsize=None)
 def _party_vandermonde_int(n: int):
     """(V, V^-1) for the party domain as host Python-int matrices."""
-    dom = _party_domain(n)
-    pts = dom.elements()
+    pts = _party_points(n)
     V = [[pow(w, j, P) for j in range(n)] for w in pts]
     # invert mod P (Gauss-Jordan over Python ints)
     A = [row[:] + [1 if i == j else 0 for j in range(n)] for i, row in enumerate(V)]
@@ -99,8 +103,7 @@ def _party_matmul(M_dev, x):
 @functools.lru_cache(maxsize=None)
 def _lagrange_at_zero(n: int) -> List[int]:
     """lambda_i with sum lambda_i f(w^i) = f(0) for deg(f) <= n-1."""
-    dom = _party_domain(n)
-    pts = dom.elements()
+    pts = _party_points(n)
     lams = []
     for i in range(n):
         num, den = 1, 1
@@ -109,7 +112,6 @@ def _lagrange_at_zero(n: int) -> List[int]:
                 continue
             num = num * pts[j] % P
             den = den * (pts[j] - pts[i]) % P
-    # den inverse
         lams.append(num * pow(den, P - 2, P) % P)
     return lams
 
@@ -122,7 +124,6 @@ class GszScheme:
         self.net = ctx.net
         n = self.net.n_parties()
         self.t = (n - 1) // 2
-        self.dom = _party_domain(n)
         self.triple_queue: List[Tuple] = []
         self.group_triple_queue: List[Tuple] = []
         from . import beaver

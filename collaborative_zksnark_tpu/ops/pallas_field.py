@@ -287,9 +287,16 @@ def from_planes(spec, planes, n, T):
 
 
 def _padded_len(n: int) -> int:
+    """Quantize batch sizes to powers of two (min one small tile).
+
+    Each distinct (n_tiles, T) pair is a separate Mosaic kernel compile
+    (10-70 s each on the tunnel).  The MSM prefix scans touch ~log2(N)
+    distinct widths per size; pow2 quantization collapses them to one
+    variant per octave, shared across scan levels AND across MSM sizes —
+    at most 2x padding waste, zero when sizes are powers of two."""
     if n <= SMALL_ELEMS:
         return SMALL_ELEMS
-    return -(-n // TILE_ELEMS) * TILE_ELEMS
+    return max(TILE_ELEMS, 1 << (n - 1).bit_length())
 
 
 def binop_flat(spec, op: str, a, b):

@@ -152,3 +152,19 @@ def test_check_eq_debug_reveal():
     got = [int(v) for v in F.FR.to_host(sch.reveal(sh))]
     assert got == [4, 5]
     ctx.assert_checks()  # check_eq entries queued and all true
+
+
+def test_gsz_group_interpolation_five_parties():
+    """GSZ Shamir-in-the-exponent reveal at a NON-power-of-two party count
+    (5): the party-domain Lagrange interpolation (gsz._lagrange_at_zero)
+    must recover k*G from 5 exponent shares and random sharings must stay
+    degree-t consistent (ref gsz20/mod.rs group reveal)."""
+    ctx, sch = _mk("gsz", 5)
+    k = 424242
+    p1 = H.G1.scalar_mul(H.G1_GEN, k)
+    Pd = cv.g1_from_host([p1])
+    Psc = cv.JacPoint(Pd.x[0], Pd.y[0], Pd.z[0])
+    gsh = sch.g_from_public(cv.FQ_OPS, Psc)
+    rev = sch.g_reveal(cv.FQ_OPS, gsh)
+    assert cv.g1_to_host(cv.JacPoint(rev.x[None], rev.y[None], rev.z[None]))[0] == p1
+    ctx.assert_checks()
