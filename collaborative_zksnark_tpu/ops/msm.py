@@ -131,19 +131,24 @@ def msm_bitserial(fld, points: JacPoint, scalars_mont) -> JacPoint:
 
 
 # ---------------------------------------------------------------------------
-# Pippenger (flat sort + plain prefix scan + prefix-difference buckets)
+# Pippenger (flat sort + BLOCKED prefix scan + prefix-difference buckets)
 #
-# Vector-machine formulation, v2:
+# Vector-machine formulation, v3:
 #   * ALL windows are flattened into ONE array of W*N (window, digit) keys,
 #     sorted together — one big sort instead of W vmapped sorts.
-#   * Bucket sums come from an UNSEGMENTED inclusive prefix scan of the
-#     sorted points followed by prefix DIFFERENCES at bucket boundaries
-#     (found with searchsorted + gather).  Points subtract by negating y, so
-#     S_b = prefix[end(b)] - prefix[end(b-1)] needs no segment flags and —
-#     crucially — no scatter (the previous formulation scattered segment
-#     totals with .at[].set, which lowers to a serialized TPU scatter).
-#   * The scan is jax.lax.associative_scan over point_add (the fused Pallas
-#     G1 add), work-efficient: ~2*W*N adds total.
+#   * Bucket sums come from an inclusive prefix scan of the sorted points
+#     followed by prefix DIFFERENCES at bucket boundaries (searchsorted +
+#     gather).  Points subtract by negating y, so S_b = prefix[end(b)] -
+#     prefix[end(b-1)] needs no segment flags and no scatter.
+#   * v3 (round-2 fix): the prefix is BLOCKED — the sorted stream reshapes
+#     to (R rows, K consecutive elements), a lax.scan walks the K positions
+#     with ONE width-R fused point-add per step (within-row prefixes), and a
+#     small associative_scan over the R row totals supplies the cross-row
+#     offsets.  prefix[e] = within[e] + row_excl[e // K].  This does ~F adds
+#     (vs 2F for the flat associative_scan) and, decisively, traces ONE add
+#     for the whole F-sized phase: the v2 flat associative_scan at F = 2^21
+#     unrolled ~21 levels of giant slice/concat graphs whose XLA compile was
+#     SIGKILLed (OOM) on the remote TPU compile helper.
 # ---------------------------------------------------------------------------
 
 def _window_digits(sc_std, c: int, n_windows: int):
@@ -166,7 +171,8 @@ def _window_digits(sc_std, c: int, n_windows: int):
 def _prefix_scan_points(strat, pts: JacPoint) -> JacPoint:
     """Plain (unsegmented) inclusive prefix sum of points along axis 0 —
     work-efficient associative scan (~2N adds), each add the fused Pallas
-    kernel on TPU."""
+    kernel on TPU.  Used only for SMALL axes (row totals, bucket axes);
+    the F-sized phase uses _blocked_prefix."""
 
     def comb(a, b):
         out = strat.add(JacPoint(*a), JacPoint(*b))
@@ -174,6 +180,52 @@ def _prefix_scan_points(strat, pts: JacPoint) -> JacPoint:
 
     sx, sy, sz = jax.lax.associative_scan(comb, (pts.x, pts.y, pts.z), axis=0)
     return JacPoint(sx, sy, sz)
+
+
+def _broadcast_point(z1: JacPoint, n: int) -> JacPoint:
+    b = lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:])
+    return JacPoint(b(z1.x), b(z1.y), b(z1.z))
+
+
+def _blocked_prefix(strat, pts: JacPoint, R: int):
+    """Inclusive prefix sums of `pts` along axis 0 in BLOCKED form.
+
+    The F-element stream is laid out as R rows of K = ceil(F/R) consecutive
+    elements (padded with identity points).  Returns
+      ys       — (K*R, ...) within-row inclusive prefixes, flat index k*R + r
+      row_excl — (R, ...) exclusive prefix of the row totals
+      K        — row length
+    so prefix[e] = ys[(e % K)*R + (e // K)] + row_excl[e // K].
+    ONE fused point-add is traced for the scan body (width R), keeping the
+    XLA graph small regardless of F."""
+    F = pts.x.shape[0]
+    K = -(-F // R)
+    pad = K * R - F
+    if pad:
+        z1 = strat.zero(JacPoint(pts.x[:1], pts.y[:1], pts.z[:1]))
+        zp = _broadcast_point(z1, pad)
+        cat = lambda a, za: jnp.concatenate([a, za], axis=0)
+        pts = JacPoint(cat(pts.x, zp.x), cat(pts.y, zp.y), cat(pts.z, zp.z))
+    # (K, R, ...): step k touches element k of every row
+    resh = lambda a: jnp.moveaxis(a.reshape((R, K) + a.shape[1:]), 1, 0)
+    px, py, pz = resh(pts.x), resh(pts.y), resh(pts.z)
+    z_row = strat.zero(JacPoint(px[0], py[0], pz[0]))
+
+    def step(carry, xs):
+        out = strat.add(JacPoint(*carry), JacPoint(*xs))
+        return (out.x, out.y, out.z), (out.x, out.y, out.z)
+
+    (tx, ty, tz), (yx, yy, yz) = jax.lax.scan(
+        step, (z_row.x, z_row.y, z_row.z), (px, py, pz)
+    )
+    flat = lambda a: a.reshape((K * R,) + a.shape[2:])
+    ys = JacPoint(flat(yx), flat(yy), flat(yz))
+    row_tot = JacPoint(tx, ty, tz)
+    incl = _prefix_scan_points(strat, row_tot)
+    z1 = strat.zero(JacPoint(incl.x[:1], incl.y[:1], incl.z[:1]))
+    sh = lambda a, za: jnp.concatenate([za, a[:-1]], axis=0)
+    row_excl = JacPoint(sh(incl.x, z1.x), sh(incl.y, z1.y), sh(incl.z, z1.z))
+    return ys, row_excl, K
 
 
 def _gather_point(pts: JacPoint, idx) -> JacPoint:
@@ -184,28 +236,30 @@ def _gather_point(pts: JacPoint, idx) -> JacPoint:
     )
 
 
-def _bucket_sums_flat(strat, prefix: JacPoint, keys_sorted, n_windows, c):
-    """Per-(window, bucket) sums from the global prefix scan:
+def _bucket_sums_blocked(strat, ys, row_excl, keys_sorted, n_windows, c, K, R):
+    """Per-(window, bucket) sums from the blocked prefix structures:
     S_{w,b} = prefix[last index with key <= (w<<c)+b]
             - prefix[last index with key <= (w<<c)+b-1]
     (point subtraction = add the y-negated point; empty buckets give
-    P - P = identity through the branchless add's inverse-pair path)."""
+    P - P = identity through the add's inverse-pair path).  The flat query
+    keys w*2^c + b enumerate 0..W*2^c-1 CONSECUTIVELY, so the lower boundary
+    of query q is the upper boundary of q-1: one composed prefix per query
+    plus one subtract, instead of two independent lookups."""
     n_buckets = 1 << c
-    qkeys = (
-        (jnp.arange(n_windows, dtype=jnp.int32)[:, None] << c)
-        + jnp.arange(n_buckets, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
-    ss_hi = jnp.searchsorted(keys_sorted, qkeys, side="right")
-    ss_lo = jnp.searchsorted(keys_sorted, qkeys - 1, side="right")
-    e_hi = ss_hi - 1
-    e_lo = ss_lo - 1
-    P_hi = _gather_point(prefix, jnp.clip(e_hi, 0))
-    P_lo = _gather_point(prefix, jnp.clip(e_lo, 0))
-    # invalidate out-of-range prefixes (before the first element): identity
-    zero = strat.zero(P_hi)
-    P_hi = strat.select(e_hi < 0, zero, P_hi)
-    P_lo = strat.select(e_lo < 0, zero, P_lo)
-    S = strat.add(P_hi, strat.neg(P_lo))
+    qkeys = jnp.arange(n_windows * n_buckets, dtype=jnp.int32)
+    e = jnp.searchsorted(keys_sorted, qkeys, side="right") - 1
+    e_c = jnp.clip(e, 0)
+    r = e_c // K
+    k = e_c % K
+    A = _gather_point(ys, k * R + r)
+    Bp = _gather_point(row_excl, r)
+    P = strat.add(A, Bp)
+    zero = strat.zero(P)
+    P = strat.select(e < 0, zero, P)
+    z1 = strat.zero(JacPoint(P.x[:1], P.y[:1], P.z[:1]))
+    sh = lambda a, za: jnp.concatenate([za, a[:-1]], axis=0)
+    P_prev = JacPoint(sh(P.x, z1.x), sh(P.y, z1.y), sh(P.z, z1.z))
+    S = strat.add(P, strat.neg(P_prev))
     return JacPoint(
         S.x.reshape((n_windows, n_buckets) + S.x.shape[1:]),
         S.y.reshape((n_windows, n_buckets) + S.y.shape[1:]),
@@ -282,8 +336,14 @@ def _pippenger_kernel(fld, c, proj=False):
             order = jnp.argsort(keys.reshape(-1))          # (G*N,)
             keys_sorted = jnp.take(keys.reshape(-1), order)
             pts_sorted = _gather_point(points, order % n)
-            prefix = _prefix_scan_points(strat, pts_sorted)
-            buckets = _bucket_sums_flat(strat, prefix, keys_sorted, w_count, c)
+            F = pts_sorted.x.shape[0]
+            # row width: keep the per-step add wide (VPU-efficient) while
+            # K = F/R stays small enough that the scan dominates no latency
+            R = 1 << max(8, min(13, F.bit_length() - 5))
+            ys, row_excl, K = _blocked_prefix(strat, pts_sorted, R)
+            buckets = _bucket_sums_blocked(
+                strat, ys, row_excl, keys_sorted, w_count, c, K, R
+            )
             return _weighted_bucket_totals(strat, buckets)   # (G, ...)
 
         parts = []
@@ -352,9 +412,11 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
     if n <= 16:
         return _bitserial_kernel(fld)(points, scalars_mont)
     if c is None:
-        # classic balance: scan work ~ 2*(253/c)*N vs bucket work ~ W*2^c
+        # v3 cost model: total adds ~ W*(N + 4*2^c) with W = 253/c
+        # (blocked scan ~ W*N, bucket sums + weighted totals ~ 4*W*2^c);
+        # 2^c ~ N/16 balances the bucket side at a few % of the scan.
         logn = n.bit_length() - 1
-        c = max(4, min(13, logn - 3))
+        c = max(4, min(13, logn - 5))
     return msm_pippenger(fld, points, scalars_mont, c=c)
 
 
