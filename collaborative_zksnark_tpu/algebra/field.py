@@ -371,11 +371,14 @@ def neg(spec: FieldSpec, a):
 import os as _os
 
 _PALLAS_FLAG = _os.environ.get("CZTPU_PALLAS", "1") != "0"
+_PALLAS_INTERPRET = _os.environ.get("CZTPU_PALLAS_INTERPRET", "0") == "1"
 
 
 def _pallas_ok():
     if not _PALLAS_FLAG:
         return False
+    if _PALLAS_INTERPRET:
+        return True  # interpreter-mode kernels run on any backend (tests)
     try:
         return jax.default_backend() == "tpu"
     except Exception:

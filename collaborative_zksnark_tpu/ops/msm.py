@@ -236,7 +236,91 @@ def _gather_point(pts: JacPoint, idx) -> JacPoint:
     )
 
 
-def _bucket_sums_blocked(strat, ys, row_excl, keys_sorted, n_windows, c, K, R):
+# ---------------------------------------------------------------------------
+# Plane-resident blocked prefix (G1 / complete-projective, TPU only)
+#
+# v4: the F-sized scan keeps coordinates in the Pallas (L, 8, C) plane
+# layout for ALL K steps — the element-major path re-transposes every coord
+# (9 arrays) to planes and back on EVERY step, which costs ~2x the fused
+# kernel's own HBM traffic in pure relayout.  Here the gathered stream is
+# transposed ONCE into (K, L, 8, C) stacks, the scan body is the raw
+# projective-add Pallas call, and bucket-boundary prefixes are read back by
+# direct (step, sublane, column) indexing into the stacked planes.
+# ---------------------------------------------------------------------------
+
+
+def _blocked_prefix_planes(pts: JacPoint, R: int):
+    """Plane-resident analog of `_blocked_prefix` for the G1 path.
+
+    Returns (ys_planes, row_excl, K, T) where ys_planes is a 3-tuple of
+    (K, L, 8, C) stacks (within-row inclusive prefixes; element (k, r) is
+    flat stream index r*K + k) and row_excl is an element-major JacPoint of
+    the R row-total exclusive prefixes."""
+    from ..algebra.field import FQ
+    from . import pallas_curve as PC
+    from . import pallas_field as PF
+
+    strat = _PointStrat(FQ_OPS, True)
+    Fsz = pts.x.shape[0]
+    K = -(-Fsz // R)
+    pad = K * R - Fsz
+    if pad:
+        z1 = strat.zero(JacPoint(pts.x[:1], pts.y[:1], pts.z[:1]))
+        zp = _broadcast_point(z1, pad)
+        cat = lambda a, za: jnp.concatenate([a, za], axis=0)
+        pts = JacPoint(cat(pts.x, zp.x), cat(pts.y, zp.y), cat(pts.z, zp.z))
+    m = PF._padded_len(R)
+    T = PF.T_SMALL if m <= PF.SMALL_ELEMS else PF.T_BIG
+    nt = m // (PF.S_SUB * T)
+    L = FQ.L
+
+    def to_kplanes(a):
+        # (K*R, L): row r holds stream indices r*K .. r*K+K-1
+        a = jnp.moveaxis(a.reshape(R, K, L), 1, 0)  # (K, R, L)
+        if m != R:
+            a = jnp.pad(a, ((0, 0), (0, m - R), (0, 0)))
+        x = a.reshape(K, nt, PF.S_SUB, T, L)
+        return x.transpose(0, 4, 2, 1, 3).reshape(K, L, PF.S_SUB, nt * T)
+
+    pxk, pyk, pzk = to_kplanes(pts.x), to_kplanes(pts.y), to_kplanes(pts.z)
+    kern = PC._proj_add_kernel(nt, T)
+    # projective identity (0 : 1 : 0) in plane form
+    zx = jnp.zeros((L, PF.S_SUB, nt * T), jnp.uint32)
+    one_col = jnp.asarray(np.asarray(FQ.one_mont, np.uint32)).reshape(L, 1, 1)
+    zy = jnp.broadcast_to(one_col, (L, PF.S_SUB, nt * T)).astype(jnp.uint32)
+    zz = zx
+
+    def step(carry, xs):
+        out = kern(carry[0], carry[1], carry[2], xs[0], xs[1], xs[2])
+        return out, out
+
+    (tx, ty, tz), (yx, yy, yz) = jax.lax.scan(step, (zx, zy, zz), (pxk, pyk, pzk))
+    row_tot = JacPoint(
+        PF.from_planes(FQ, tx, R, T),
+        PF.from_planes(FQ, ty, R, T),
+        PF.from_planes(FQ, tz, R, T),
+    )
+    incl = _prefix_scan_points(strat, row_tot)
+    z1 = strat.zero(JacPoint(incl.x[:1], incl.y[:1], incl.z[:1]))
+    sh = lambda a, za: jnp.concatenate([za, a[:-1]], axis=0)
+    row_excl = JacPoint(sh(incl.x, z1.x), sh(incl.y, z1.y), sh(incl.z, z1.z))
+    return (yx, yy, yz), row_excl, K, T
+
+
+def _gather_kplanes(ys_planes, e, K, T):
+    """Element-major (Q, L) gather of stream indices `e` from the stacked
+    (K, L, 8, C) within-row prefixes: stream index e = r*K + k lives at
+    step k, sublane (r//T)%8, column (r//(8T))*T + r%T."""
+    yx, yy, yz = ys_planes
+    k = e % K
+    r = e // K
+    s = (r // T) % 8
+    col = (r // (8 * T)) * T + r % T
+    g = lambda a: a[k, :, s, col]
+    return JacPoint(g(yx), g(yy), g(yz))
+
+
+def _bucket_sums_blocked(strat, prefix_at, keys_sorted, n_windows, c):
     """Per-(window, bucket) sums from the blocked prefix structures:
     S_{w,b} = prefix[last index with key <= (w<<c)+b]
             - prefix[last index with key <= (w<<c)+b-1]
@@ -244,16 +328,16 @@ def _bucket_sums_blocked(strat, ys, row_excl, keys_sorted, n_windows, c, K, R):
     P - P = identity through the add's inverse-pair path).  The flat query
     keys w*2^c + b enumerate 0..W*2^c-1 CONSECUTIVELY, so the lower boundary
     of query q is the upper boundary of q-1: one composed prefix per query
-    plus one subtract, instead of two independent lookups."""
+    plus one subtract, instead of two independent lookups.
+
+    `prefix_at(e)` returns the inclusive stream prefix at flat index e as an
+    element-major JacPoint (layout-specific: blocked element-major or the
+    plane-resident stacks)."""
     n_buckets = 1 << c
     qkeys = jnp.arange(n_windows * n_buckets, dtype=jnp.int32)
     e = jnp.searchsorted(keys_sorted, qkeys, side="right") - 1
     e_c = jnp.clip(e, 0)
-    r = e_c // K
-    k = e_c % K
-    A = _gather_point(ys, k * R + r)
-    Bp = _gather_point(row_excl, r)
-    P = strat.add(A, Bp)
+    P = prefix_at(e_c)
     zero = strat.zero(P)
     P = strat.select(e < 0, zero, P)
     z1 = strat.zero(JacPoint(P.x[:1], P.y[:1], P.z[:1]))
@@ -336,13 +420,24 @@ def _pippenger_kernel(fld, c, proj=False):
             order = jnp.argsort(keys.reshape(-1))          # (G*N,)
             keys_sorted = jnp.take(keys.reshape(-1), order)
             pts_sorted = _gather_point(points, order % n)
-            F = pts_sorted.x.shape[0]
+            Fsz = pts_sorted.x.shape[0]
             # row width: keep the per-step add wide (VPU-efficient) while
             # K = F/R stays small enough that the scan dominates no latency
-            R = 1 << max(8, min(13, F.bit_length() - 5))
-            ys, row_excl, K = _blocked_prefix(strat, pts_sorted, R)
+            R = 1 << max(8, min(13, Fsz.bit_length() - 5))
+            if proj and F._pallas_ok():
+                ys_planes, row_excl, K, T = _blocked_prefix_planes(pts_sorted, R)
+                prefix_at = lambda e: strat.add(
+                    _gather_kplanes(ys_planes, e, K, T),
+                    _gather_point(row_excl, e // K),
+                )
+            else:
+                ys, row_excl, K = _blocked_prefix(strat, pts_sorted, R)
+                prefix_at = lambda e: strat.add(
+                    _gather_point(ys, (e % K) * R + e // K),
+                    _gather_point(row_excl, e // K),
+                )
             buckets = _bucket_sums_blocked(
-                strat, ys, row_excl, keys_sorted, w_count, c, K, R
+                strat, prefix_at, keys_sorted, w_count, c
             )
             return _weighted_bucket_totals(strat, buckets)   # (G, ...)
 

@@ -168,6 +168,7 @@ def _proj_add_kernel(n_tiles: int, T: int):
         grid=(n_tiles,),
         in_specs=[bs() for _ in range(6)],
         out_specs=tuple(bs() for _ in range(3)),
+        interpret=PF.INTERPRET,
     )
     return jax.jit(fn)
 
@@ -207,6 +208,7 @@ def _add_kernel(n_tiles: int, T: int):
         grid=(n_tiles,),
         in_specs=[bs() for _ in range(6)],
         out_specs=tuple(bs() for _ in range(3)),
+        interpret=PF.INTERPRET,
     )
     return jax.jit(fn)
 
@@ -231,6 +233,7 @@ def _dbl_kernel(n_tiles: int, T: int):
         grid=(n_tiles,),
         in_specs=[bs() for _ in range(3)],
         out_specs=tuple(bs() for _ in range(3)),
+        interpret=PF.INTERPRET,
     )
     return jax.jit(fn)
 

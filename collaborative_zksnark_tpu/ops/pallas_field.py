@@ -44,6 +44,13 @@ MASK = F.MASK
 B = F.B
 U32 = jnp.uint32
 
+# CZTPU_PALLAS_INTERPRET=1 runs every pallas_call in interpreter mode so the
+# full kernel path (incl. the plane-resident MSM scan) is exercisable on the
+# CPU backend in tests; field._pallas_ok() honours the same flag.
+import os as _os
+
+INTERPRET = _os.environ.get("CZTPU_PALLAS_INTERPRET", "0") == "1"
+
 # Tile geometry: elements per tile = S * T.
 S_SUB = 8
 T_BIG = 512
@@ -261,6 +268,7 @@ def _binop_kernel(spec, op: str, n_tiles: int, T: int):
         grid=(n_tiles,),
         in_specs=[bs(), bs()],
         out_specs=bs(),
+        interpret=INTERPRET,
     )
     return jax.jit(fn)
 
@@ -343,6 +351,7 @@ def _butterfly_kernel(spec, n_tiles: int, T: int):
         grid=(n_tiles,),
         in_specs=[bs(), bs(), bs()],
         out_specs=tuple(bs() for _ in range(2)),
+        interpret=INTERPRET,
     )
     return jax.jit(fn)
 
