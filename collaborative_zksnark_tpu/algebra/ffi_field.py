@@ -18,6 +18,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NAMES = ("cz_mul_fr", "cz_add_fr", "cz_sub_fr",
           "cz_mul_fq", "cz_add_fq", "cz_sub_fq",
@@ -59,6 +60,60 @@ if os.environ.get("CZTPU_FFI", "1") != "0":
         HAVE_FFI = True
     except Exception:
         HAVE_FFI = False
+
+
+def fixed_base_host(g2: bool, base_affine, scalars_mont_np):
+    """Host-native windowed fixed-base batch scalar-mul (no XLA round trip).
+
+    base_affine: ((x, y) ints) for G1 / (((x0,x1),(y0,y1))) for G2;
+    scalars_mont_np: numpy (n, 16) uint32 Montgomery-form Fr limbs.
+    Returns (ox, oy, oz) numpy Jacobian limb arrays with oz[i] == 0 for the
+    identity and oz[i] == Montgomery-one otherwise (outputs are affine-
+    normalized in the kernel, so z carries no information beyond the
+    identity flag — callers may rebuild it on-device to skip the transfer).
+    Ref analog: arkworks FixedBaseMSM (generator.rs / kzg10 setup).
+    """
+    assert HAVE_FFI
+    from . import bls12_377 as C
+    from . import field as F
+
+    def mont_limbs(v):
+        return F.ints_to_limbs([(v << 384) % C.Q_MOD], 24)[0]
+
+    if g2:
+        (x0, x1), (y0, y1) = base_affine
+        gx = np.concatenate([mont_limbs(x0), mont_limbs(x1)])
+        gy = np.concatenate([mont_limbs(y0), mont_limbs(y1)])
+        L = 48
+    else:
+        x, y = base_affine
+        gx, gy = mont_limbs(x), mont_limbs(y)
+        L = 24
+    sc = np.ascontiguousarray(scalars_mont_np, dtype=np.uint32)
+    n = sc.shape[0]
+    assert sc.shape == (n, 16)
+    ox = np.empty((n, L), np.uint32)
+    oy = np.empty((n, L), np.uint32)
+    oz = np.empty((n, L), np.uint32)
+    fn = _lib.cz_fixed_base_g2 if g2 else _lib.cz_fixed_base_g1
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    fn.argtypes = [u32p, u32p, u32p, ctypes.c_longlong, u32p, u32p, u32p]
+    gx = np.ascontiguousarray(gx, np.uint32)
+    gy = np.ascontiguousarray(gy, np.uint32)
+    fn(
+        gx.ctypes.data_as(u32p),
+        gy.ctypes.data_as(u32p),
+        sc.ctypes.data_as(u32p),
+        n,
+        ox.ctypes.data_as(u32p),
+        oy.ctypes.data_as(u32p),
+        oz.ctypes.data_as(u32p),
+    )
+    if g2:
+        ox = ox.reshape(n, 2, 24)
+        oy = oy.reshape(n, 2, 24)
+        oz = oz.reshape(n, 2, 24)
+    return ox, oy, oz
 
 
 def msm(g2: bool, px, py, pz, scalars):

@@ -519,6 +519,48 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
 # Fixed-base MSM (one base, many scalars) — used by setup / SRS generation
 # ---------------------------------------------------------------------------
 
+def fixed_base_msm_ints(fld, host_curve, base_host, scalar_ints, c: int = 8):
+    """[s * G for s in scalar_ints] with host int scalars.
+
+    Prefers the NATIVE host kernel (native/fieldops.cpp fixed_base_run:
+    windowed affine table + mixed adds, OpenMP) on any backend — setup/SRS
+    generation is host work; the points ship to the device once.  This is
+    what kills the TPU fixed-base compile wall (round-2: 198 s setup @2^14
+    was almost entirely device fixed-base kernel compiles).  z is rebuilt
+    on-device from the identity mask (native outputs are affine-normalized)
+    so only 2 of 3 coordinates cross the (slow) host->device link.
+    Falls back to the device windowed-table kernel.
+    Ref analog: arkworks FixedBaseMSM (generator.rs / kzg10 setup)."""
+    from ..algebra import ffi_field
+    from ..algebra import bls12_377 as C
+
+    scalar_ints = [int(v) % C.R_MOD for v in scalar_ints]
+    if not scalar_ints:
+        from . import curve as curve_mod
+
+        return curve_mod.g1_from_host([]) if fld is FQ_OPS else curve_mod.g2_from_host([])
+    if ffi_field.HAVE_FFI:
+        R = 1 << (F.LIMB_BITS * FR.L)
+        sc_np = F.ints_to_limbs([v * R % C.R_MOD for v in scalar_ints], FR.L)
+        ox, oy, oz = ffi_field.fixed_base_host(fld is FQ2_OPS, base_host, sc_np)
+        inf = ~np.asarray(oz.reshape(oz.shape[0], -1)).any(axis=1)
+        x = jnp.asarray(ox)
+        y = jnp.asarray(oy)
+        from ..algebra.field import FQ
+
+        one = jnp.asarray(FQ.one_mont)
+        if fld is FQ2_OPS:
+            one = jnp.stack([one, jnp.zeros_like(one)], axis=0)
+        z = jnp.where(
+            jnp.asarray(inf)[(...,) + (None,) * one.ndim],
+            jnp.zeros_like(one),
+            one,
+        )
+        z = jnp.broadcast_to(z, x.shape).astype(jnp.uint32)
+        return JacPoint(x, y, z)
+    return fixed_base_msm(fld, host_curve, base_host, FR.to_device(scalar_ints), c=c)
+
+
 def fixed_base_msm(fld, host_curve, base_host, scalars_mont, c: int = 8):
     """[s_0 * G, s_1 * G, ...] for one affine base G (host int coords).
 

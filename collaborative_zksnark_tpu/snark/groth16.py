@@ -157,11 +157,11 @@ def setup(cs: R1CS, seed: int = 0):
     ]
     h_scalars = [pow(tau, j, P) * zt % P * dinv % P for j in range(n - 1)]
 
-    fb_g1 = lambda scalars: msm_mod.fixed_base_msm(
-        cv.FQ_OPS, H.G1, H.G1_GEN, FR.to_device(scalars), c=8
+    fb_g1 = lambda scalars: msm_mod.fixed_base_msm_ints(
+        cv.FQ_OPS, H.G1, H.G1_GEN, scalars, c=8
     )
-    fb_g2 = lambda scalars: msm_mod.fixed_base_msm(
-        cv.FQ2_OPS, H.G2, H.G2_GEN, FR.to_device(scalars), c=8
+    fb_g2 = lambda scalars: msm_mod.fixed_base_msm_ints(
+        cv.FQ2_OPS, H.G2, H.G2_GEN, scalars, c=8
     )
 
     a_query = fb_g1(u)

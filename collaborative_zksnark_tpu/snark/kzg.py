@@ -77,15 +77,15 @@ def setup(max_degree: int, seed: int = 1, hiding: bool = True) -> KzgSrs:
     pows = [1] * (max_degree + 2)
     for i in range(1, max_degree + 2):
         pows[i] = pows[i - 1] * tau % P
-    powers = msm_mod.fixed_base_msm(
-        cv.FQ_OPS, H.G1, H.G1_GEN, FR.to_device(pows[: max_degree + 1]), c=8
+    powers = msm_mod.fixed_base_msm_ints(
+        cv.FQ_OPS, H.G1, H.G1_GEN, pows[: max_degree + 1], c=8
     )
     gamma_powers = None
     gamma_g1 = None
     if hiding:
         gpows = [gamma * t % P for t in pows]
-        gamma_powers = msm_mod.fixed_base_msm(
-            cv.FQ_OPS, H.G1, H.G1_GEN, FR.to_device(gpows), c=8
+        gamma_powers = msm_mod.fixed_base_msm_ints(
+            cv.FQ_OPS, H.G1, H.G1_GEN, gpows, c=8
         )
         gamma_g1 = H.G1.scalar_mul(H.G1_GEN, gamma)
     return KzgSrs(

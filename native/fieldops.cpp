@@ -561,6 +561,259 @@ static void msm_run(const u32 *px, const u32 *py, const u32 *pz,
   store_e(acc.z, oz, 0);
 }
 
+// ---- field inversion (Fermat) + batch inversion ---------------------------
+
+static void fq_mont_one(u64 *o) {
+  // R mod q as a [0, 2q) representative: double 1, 384 times.
+  u64 one[6] = {1, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 384; ++i) mont_add<6>(FQC, one, one, one);
+  memcpy(o, one, 48);
+}
+
+static const struct FqOne {
+  u64 v[6];
+  FqOne() { fq_mont_one(v); }
+} FQ_ONE;
+
+static void fq_inv(const u64 *a, u64 *out) {
+  // a^(q-2) by left-to-right square-and-multiply (Montgomery form in/out).
+  u64 e[6];
+  memcpy(e, FQC.p, 48);
+  e[0] -= 2;  // q ends in ...0001, no borrow
+  u64 base[6], acc[6];
+  memcpy(base, a, 48);
+  bool started = false;
+  for (int i = 383; i >= 0; --i) {
+    if (started) mont_mul<6>(FQC, acc, acc, acc);
+    if ((e[i / 64] >> (i % 64)) & 1) {
+      if (!started) {
+        memcpy(acc, base, 48);
+        started = true;
+      } else {
+        mont_mul<6>(FQC, acc, base, acc);
+      }
+    }
+  }
+  memcpy(out, acc, 48);
+}
+
+static inline void f_inv(const Fp1 &a, Fp1 &o) { fq_inv(a.v, o.v); }
+static inline void f_inv(const Fp2 &a, Fp2 &o) {
+  // (c0 + u c1)^-1 = (c0 - u c1) / (c0^2 + 5 c1^2)   [u^2 = -5]
+  u64 t0[6], t1[6], t5[6], norm[6], ninv[6], zero[6] = {0};
+  mont_mul<6>(FQC, a.c0, a.c0, t0);
+  mont_mul<6>(FQC, a.c1, a.c1, t1);
+  mont_add<6>(FQC, t1, t1, t5);
+  mont_add<6>(FQC, t5, t5, norm);
+  mont_add<6>(FQC, norm, t1, t5);  // 5 c1^2
+  mont_add<6>(FQC, t0, t5, norm);
+  fq_inv(norm, ninv);
+  mont_mul<6>(FQC, a.c0, ninv, o.c0);
+  u64 c1i[6];
+  mont_mul<6>(FQC, a.c1, ninv, c1i);
+  mont_sub<6>(FQC, zero, c1i, o.c1);
+}
+
+static inline void e_set_one(Fp1 &a) { memcpy(a.v, FQ_ONE.v, 48); }
+static inline void e_set_one(Fp2 &a) {
+  memcpy(a.c0, FQ_ONE.v, 48);
+  memset(a.c1, 0, 48);
+}
+
+template <typename E>
+static void batch_inverse(std::vector<E> &v) {
+  // Montgomery trick; all entries must be nonzero.
+  int64_t n = (int64_t)v.size();
+  if (n == 0) return;
+  std::vector<E> prefix(n);
+  prefix[0] = v[0];
+  for (int64_t i = 1; i < n; ++i) f_mul(prefix[i - 1], v[i], prefix[i]);
+  E inv_all;
+  f_inv(prefix[n - 1], inv_all);
+  for (int64_t i = n - 1; i >= 1; --i) {
+    E vi;
+    f_mul(inv_all, prefix[i - 1], vi);
+    f_mul(inv_all, v[i], inv_all);
+    v[i] = vi;
+  }
+  v[0] = inv_all;
+}
+
+// ---- mixed addition (Jacobian P + affine Q, madd-2007-bl, a = 0) ---------
+
+template <typename E>
+static inline void pt_madd(const Pt<E> &p, const E &qx, const E &qy,
+                           Pt<E> &o) {
+  if (p.inf) {
+    o.x = qx;
+    o.y = qy;
+    e_set_one(o.z);
+    o.inf = false;
+    return;
+  }
+  E Z1Z1, U2, S2, t;
+  f_mul(p.z, p.z, Z1Z1);
+  f_mul(qx, Z1Z1, U2);
+  f_mul(p.z, Z1Z1, t);
+  f_mul(qy, t, S2);
+  if (f_eq(U2, p.x)) {
+    if (f_eq(S2, p.y)) {
+      pt_double(p, o);
+    } else {
+      pt_set_inf(o);
+    }
+    return;
+  }
+  E H, HH, I4, J, r, V, X3, Y3, Z3, t2;
+  f_sub(U2, p.x, H);
+  f_mul(H, H, HH);
+  f_add(HH, HH, I4);
+  f_add(I4, I4, I4);  // I = 4 HH
+  f_mul(H, I4, J);
+  f_sub(S2, p.y, r);
+  f_add(r, r, r);  // r = 2 (S2 - Y1)
+  f_mul(p.x, I4, V);
+  f_mul(r, r, X3);
+  f_sub(X3, J, X3);
+  f_sub(X3, V, X3);
+  f_sub(X3, V, X3);  // X3 = r^2 - J - 2V
+  f_sub(V, X3, Y3);
+  f_mul(r, Y3, Y3);
+  E yj;
+  f_mul(p.y, J, yj);
+  f_add(yj, yj, yj);
+  f_sub(Y3, yj, Y3);  // Y3 = r (V - X3) - 2 Y1 J
+  f_add(p.z, H, Z3);
+  f_mul(Z3, Z3, t2);
+  f_sub(t2, Z1Z1, t2);
+  f_sub(t2, HH, Z3);  // Z3 = (Z1 + H)^2 - Z1Z1 - HH
+  o.x = X3;
+  o.y = Y3;
+  o.z = Z3;
+  o.inf = false;
+}
+
+// ---- fixed-base batch scalar multiplication ------------------------------
+//
+// out[i] = s[i] * G for ONE affine base G: windowed affine table
+// (batch-normalized) + mixed adds, OpenMP over scalars.  This is the
+// host-native SRS/setup kernel (ref analog: arkworks FixedBaseMSM used by
+// groth16 generator.rs and KZG10 setup) — it exists to kill the TPU
+// fixed-base compile wall: the keys are generated here and shipped to the
+// device once.
+
+template <typename E>
+static void fixed_base_run(const u32 *gx, const u32 *gy, const u32 *sc,
+                           int64_t n, u32 *ox, u32 *oy, u32 *oz) {
+  const int FR_BITS = 253;
+  int logn = 1;
+  while ((1LL << logn) < n) ++logn;
+  int c = logn - 3;
+  if (c < 4) c = 4;
+  if (c > 13) c = 13;
+  int W = (FR_BITS + c - 1) / c;
+  int64_t M = ((int64_t)1 << c) - 1;  // entries 1..2^c-1 per window
+
+  // Jacobian table: jac[w*M + d-1] = d * 2^(c w) * G
+  std::vector<Pt<E>> jac((size_t)(W * M));
+  Pt<E> B;
+  load_e(gx, 0, B.x);
+  load_e(gy, 0, B.y);
+  e_set_one(B.z);
+  B.inf = false;
+  for (int w = 0; w < W; ++w) {
+    jac[(size_t)w * M] = B;
+    for (int64_t d = 2; d <= M; ++d)
+      pt_add(jac[(size_t)w * M + d - 2], B, jac[(size_t)w * M + d - 1]);
+    for (int k = 0; k < c; ++k) {
+      Pt<E> t;
+      pt_double(B, t);
+      B = t;
+    }
+  }
+
+  // batch-normalize to affine: x' = x z^-2, y' = y z^-3
+  std::vector<E> zs((size_t)(W * M));
+  for (size_t i = 0; i < zs.size(); ++i) zs[i] = jac[i].z;
+  batch_inverse(zs);
+  std::vector<E> ax((size_t)(W * M)), ay((size_t)(W * M));
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < (int64_t)zs.size(); ++i) {
+    E zi2, zi3;
+    f_mul(zs[i], zs[i], zi2);
+    f_mul(zi2, zs[i], zi3);
+    f_mul(jac[i].x, zi2, ax[i]);
+    f_mul(jac[i].y, zi3, ay[i]);
+  }
+  jac.clear();
+  jac.shrink_to_fit();
+
+  std::vector<u64> std_sc(n * 4);
+  scalars_to_std(sc, n, std_sc.data());
+
+  std::vector<Pt<E>> accs((size_t)n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const u64 *s = &std_sc[i * 4];
+    Pt<E> acc;
+    pt_set_inf(acc);
+    for (int w = 0; w < W; ++w) {
+      int lo = w * c;
+      int word = lo / 64, off = lo % 64;
+      u64 d = s[word] >> off;
+      if (off + c > 64 && word + 1 < 4) d |= s[word + 1] << (64 - off);
+      d &= (((u64)1 << c) - 1);
+      if (d) {
+        Pt<E> t;
+        pt_madd(acc, ax[(size_t)w * M + d - 1], ay[(size_t)w * M + d - 1], t);
+        acc = t;
+      }
+    }
+    accs[i] = acc;
+  }
+
+  // Affine-normalize the outputs (chunked batch inversion) so z is exactly
+  // Montgomery-one for every non-identity point: callers then ship only
+  // (x, y) and rebuild z device-side.
+  const int64_t CHUNK = 8192;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t lo = 0; lo < n; lo += CHUNK) {
+    int64_t hi = lo + CHUNK < n ? lo + CHUNK : n;
+    std::vector<E> zs;
+    std::vector<int64_t> idx;
+    zs.reserve(hi - lo);
+    idx.reserve(hi - lo);
+    for (int64_t i = lo; i < hi; ++i)
+      if (!accs[i].inf) {
+        zs.push_back(accs[i].z);
+        idx.push_back(i);
+      }
+    batch_inverse(zs);
+    for (size_t k = 0; k < idx.size(); ++k) {
+      int64_t i = idx[k];
+      E zi2, zi3;
+      f_mul(zs[k], zs[k], zi2);
+      f_mul(zi2, zs[k], zi3);
+      f_mul(accs[i].x, zi2, accs[i].x);
+      f_mul(accs[i].y, zi3, accs[i].y);
+      e_set_one(accs[i].z);
+    }
+    for (int64_t i = lo; i < hi; ++i) {
+      if (accs[i].inf) {
+        E z;
+        f_zero_set(z);
+        store_e(z, ox, i);
+        store_e(z, oy, i);
+        store_e(z, oz, i);
+      } else {
+        store_e(accs[i].x, ox, i);
+        store_e(accs[i].y, oy, i);
+        store_e(accs[i].z, oz, i);
+      }
+    }
+  }
+}
+
 }  // namespace msm
 
 static ffi::Error cz_msm_g1(ffi::Buffer<ffi::U32> px, ffi::Buffer<ffi::U32> py,
@@ -613,4 +866,19 @@ XLA_FFI_DEFINE_HANDLER_SYMBOL(k_cz_msm_g2, cz_msm_g2,
 extern "C" {
 EXPORT_PTR(cz_msm_g1)
 EXPORT_PTR(cz_msm_g2)
+
+// Plain-pointer entry points for the host-side setup path (called via
+// ctypes with numpy buffers — no XLA round trip).  Inputs: one affine base
+// (Montgomery limb vectors, 24 u32 per Fq coordinate; G2 coords are
+// (c0, c1) concatenated = 48 u32) and n Montgomery-form Fr scalars
+// (n x 16 u32).  Outputs: Jacobian limb coords (n x 24 / n x 48 u32);
+// identity encoded as all-zero (z == 0).
+void cz_fixed_base_g1(const u32 *gx, const u32 *gy, const u32 *sc,
+                      long long n, u32 *ox, u32 *oy, u32 *oz) {
+  msm::fixed_base_run<msm::Fp1>(gx, gy, sc, (int64_t)n, ox, oy, oz);
+}
+void cz_fixed_base_g2(const u32 *gx, const u32 *gy, const u32 *sc,
+                      long long n, u32 *ox, u32 *oy, u32 *oz) {
+  msm::fixed_base_run<msm::Fp2>(gx, gy, sc, (int64_t)n, ox, oy, oz);
+}
 }

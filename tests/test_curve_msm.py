@@ -126,6 +126,23 @@ def test_fixed_base_msm_g2():
         assert got[i] == H.G2.scalar_mul(H.G2_GEN, k), i
 
 
+def test_fixed_base_msm_ints_native():
+    """Host int scalars -> the native fixed-base kernel (when built):
+    affine-normalized outputs, identity for 0, edge scalars r-1 / 1."""
+    rng = np.random.default_rng(16)
+    ks = [0, 1, 2, R - 1] + [
+        int.from_bytes(rng.bytes(40), "little") % R for _ in range(8)
+    ]
+    res = msm_mod.fixed_base_msm_ints(cv.FQ_OPS, H.G1, H.G1_GEN, ks)
+    got = cv.g1_to_host(res)
+    for i, k in enumerate(ks):
+        assert got[i] == H.G1.scalar_mul(H.G1_GEN, k), i
+    res2 = msm_mod.fixed_base_msm_ints(cv.FQ2_OPS, H.G2, H.G2_GEN, ks[:6])
+    got2 = cv.g2_to_host(res2)
+    for i, k in enumerate(ks[:6]):
+        assert got2[i] == H.G2.scalar_mul(H.G2_GEN, k), i
+
+
 def test_proj_complete_add_matches_host():
     """Complete projective add (RCB16 alg 7, the MSM hot-loop formula):
     general adds, doubling via add(P,P), identity absorb, inverse pairs.
