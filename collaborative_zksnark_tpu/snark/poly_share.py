@@ -180,36 +180,39 @@ def univariate_div_qr(scheme, a_sh, divisor_ints):
         )
         return zero_q, a_sh
     lead_inv = pow(d[-1], P - 2, P)
-    # Build the public linear maps Q (q = Q c) and R (r = R c) by running
-    # synthetic division symbolically over basis vectors — host ints, sizes
-    # are SNARK-poly sized only when this hook is used (small in practice).
+    if m == 0:
+        # constant divisor: q = a / d0, r = 0
+        q_sh = scale_const(scheme, a_sh, lead_inv)
+        r_sh = scheme.lin_map(
+            lambda arr: jnp.zeros(arr.shape[:-2] + (1, arr.shape[-1]), arr.dtype),
+            a_sh,
+        )
+        return q_sh, r_sh
+    # Reversal method (replaces the round-2 O(n^2) synthetic-division
+    # matrices): with rev(p)(X) = X^deg(p) p(1/X),
+    #   rev_n-1(a) = rev_m(d) * rev_qlen-1(q) + X^qlen * rev(r-part)
+    # so rev(q) = rev(a) * rev(d)^{-1} mod X^qlen where rev(d)^{-1} is the
+    # PUBLIC power-series inverse (host ints, O(qlen * min(m, qlen))), and
+    # the share-side work is two local public-poly products (NTT-based).
     qlen = n - m
-    Qm = [[0] * n for _ in range(qlen)]
-    Rm = [[0] * n for _ in range(m)]
-    for basis in range(n):
-        c = [0] * n
-        c[basis] = 1
-        q = [0] * qlen
-        for i in range(qlen - 1, -1, -1):
-            q[i] = c[i + m] * lead_inv % P
-            for j in range(m + 1):
-                c[i + j] = (c[i + j] - q[i] * d[j]) % P
-        for i in range(qlen):
-            Qm[i][basis] = q[i]
-        for i in range(m):
-            Rm[i][basis] = c[i]
-    Qd = FR.to_device([v for row in Qm for v in row]).reshape(qlen, n, FR.L)
-    Rd = FR.to_device([v for row in Rm for v in row]).reshape(m, n, FR.L)
-
-    def apply(Md):
-        def f(arr):
-            prods = F.mul(FR, Md, arr[..., None, :, :])
-            return F.fold_sum(FR, prods, axis=-2)
-
-        return f
-
-    q_sh = scheme.lin_map(apply(Qd), a_sh)
-    r_sh = scheme.lin_map(apply(Rd), a_sh)
+    drev = d[::-1]
+    e = [0] * qlen
+    e[0] = lead_inv
+    for k in range(1, qlen):
+        acc = 0
+        for j in range(1, min(k, m) + 1):
+            acc = (acc + drev[j] * e[k - j]) % P
+        e[k] = (P - lead_inv * acc % P) % P
+    a_rev = scheme.lin_map(
+        lambda arr: jnp.flip(arr, axis=-2)[..., :qlen, :], a_sh
+    )
+    prod = mul_public(scheme, a_rev, FR.to_device(e).reshape(qlen, FR.L))
+    q_rev = low_map(scheme, pad_to(scheme, prod, qlen), qlen)
+    q_sh = scheme.lin_map(lambda arr: jnp.flip(arr, axis=-2), q_rev)
+    qd = mul_public(scheme, q_sh, FR.to_device(d).reshape(m + 1, FR.L))
+    r_sh = scheme.sub(
+        low_map(scheme, a_sh, m), low_map(scheme, pad_to(scheme, qd, m), m)
+    )
     return q_sh, r_sh
 
 
