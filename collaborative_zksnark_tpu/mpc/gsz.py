@@ -101,6 +101,59 @@ def _party_matmul(M_dev, x):
 
 
 @functools.lru_cache(maxsize=None)
+def _gen_point(fld) -> cv.JacPoint:
+    """Device generator point for the given coordinate field (scalar shape)."""
+    from ..algebra import hostfield as H
+
+    if fld is cv.FQ_OPS:
+        p = cv.g1_from_host([H.G1_GEN])
+    else:
+        p = cv.g2_from_host([H.G2_GEN])
+    return cv.JacPoint(p.x[0], p.y[0], p.z[0])
+
+
+def _g_scale_each(fld, pts: cv.JacPoint, sc):
+    """[k_i * P_i] with element-axis-leading points; G2 coords carry an
+    extra (2,) axis the flat batch kernel's masks don't broadcast over, so
+    it goes through a vmap of the scalar kernel."""
+    if pts.x.ndim == sc.ndim:
+        return cv.point_scale_batch(fld, pts, sc)
+    return jax.vmap(lambda p, k: cv.point_scale_const(fld, p, k))(pts, sc)
+
+
+def _g_scale_each_nd(fld, pts: cv.JacPoint, sc):
+    """k * P with arbitrary leading point-batch axes; sc broadcasts against
+    the batch shape (public or per-element scalars, Montgomery form)."""
+    tail = 2 if fld is cv.FQ2_OPS else 1
+    batch = pts.x.shape[: pts.x.ndim - tail]
+    scb = jnp.broadcast_to(sc, batch + (FR.L,)).astype(jnp.uint32)
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch) :])
+    out = _g_scale_each(
+        fld,
+        cv.JacPoint(flat(pts.x), flat(pts.y), flat(pts.z)),
+        scb.reshape(-1, FR.L),
+    )
+    unflat = lambda a: a.reshape(batch + a.shape[1:])
+    return cv.JacPoint(unflat(out.x), unflat(out.y), unflat(out.z))
+
+
+def _g_points_eq(fld, A: cv.JacPoint, B: cv.JacPoint):
+    """Jacobian equality: cross-multiplied coordinate comparison
+    (x1 z2^2 == x2 z1^2 and y1 z2^3 == y2 z1^3), identity-aware."""
+    z2a = fld.sqr(A.z)
+    z2b = fld.sqr(B.z)
+    x_eq = fld.is_zero(fld.sub(fld.mul(A.x, z2b), fld.mul(B.x, z2a)))
+    y_eq = fld.is_zero(
+        fld.sub(
+            fld.mul(A.y, fld.mul(z2b, B.z)), fld.mul(B.y, fld.mul(z2a, A.z))
+        )
+    )
+    ai = fld.is_zero(A.z)
+    bi = fld.is_zero(B.z)
+    return jnp.where(ai | bi, ai & bi, x_eq & y_eq)
+
+
+@functools.lru_cache(maxsize=None)
 def _lagrange_at_zero(n: int) -> List[int]:
     """lambda_i with sum lambda_i f(w^i) = f(0) for deg(f) <= n-1."""
     pts = _party_points(n)
@@ -175,6 +228,7 @@ class GszScheme:
 
     def reveal(self, sh):
         self.run_deferred_checks()
+        self.run_group_checks()
         val, ok = self._open_raw(sh, self.t)
         self.ctx.push_check("gsz_degree", ok)
         if self.ctx.debug:
@@ -456,14 +510,90 @@ class GszScheme:
         )
         return _fold_points(fld, stacked)
 
+    def _g_poly_coeffs(self, fld, gathered: cv.JacPoint) -> cv.JacPoint:
+        """Interpolate the share polynomial's GROUP coefficients:
+        C_j = sum_i Vinv[j, i] * P_i (the group analog of the opening iFFT,
+        ref gsz20/mod.rs:1049-1080 open_degree_vec)."""
+        n = self.net.n_parties()
+        _, Vinv_int = _party_vandermonde_int(n)
+        Rint = 1 << (F.LIMB_BITS * FR.L)
+        rows = []
+        for j in range(n):
+            parts = []
+            for i in range(n):
+                lam = jnp.asarray(
+                    F.ints_to_limbs([Vinv_int[j][i] * Rint % P], FR.L)[0]
+                )
+                Pi = cv.JacPoint(gathered.x[i], gathered.y[i], gathered.z[i])
+                parts.append(cv.point_scale_const(fld, Pi, lam))
+            stacked = cv.JacPoint(
+                jnp.stack([p.x for p in parts]),
+                jnp.stack([p.y for p in parts]),
+                jnp.stack([p.z for p in parts]),
+            )
+            rows.append(_fold_points(fld, stacked))
+        return cv.JacPoint(
+            jnp.stack([r.x for r in rows]),
+            jnp.stack([r.y for r in rows]),
+            jnp.stack([r.z for r in rows]),
+        )
+
+    def _g_open_raw(self, fld, gathered: cv.JacPoint, degree: int):
+        """(value, degree_ok): value = C_0, tail coefficients past `degree`
+        must be the identity (ref open_degree_vec assert, :1071-1079)."""
+        n = self.net.n_parties()
+        if degree + 1 >= n:
+            return self._g_interp_at_zero(fld, gathered), jnp.asarray(True)
+        coeffs = self._g_poly_coeffs(fld, gathered)
+        value = cv.JacPoint(coeffs.x[0], coeffs.y[0], coeffs.z[0])
+        tail_z = coeffs.z[degree + 1 :]
+        from ..algebra.field import FQ
+
+        ok = jnp.all(F.is_zero(FQ, tail_z))
+        return value, ok
+
+    def _g_share_poly(self, fld, value: cv.JacPoint, degree: int) -> cv.JacPoint:
+        """Deal a fresh degree-`degree` randomized GROUP sharing of a scalar
+        point (king-side math): blinding polynomial s(X) with s(0) = 0 in
+        the scalar field, share_i = value + s(pt_i) * G.  (The reference
+        leaves this unrandomized — 'TODO: randomize', gsz20/mod.rs:1100 —
+        dealing vec![output; n]; this is the completed version.)"""
+        n = self.net.n_parties()
+        coeffs = jnp.concatenate(
+            [
+                jnp.zeros((1, FR.L), jnp.uint32),
+                self.ctx.rand_fr((degree,)),
+                jnp.zeros((n - 1 - degree, FR.L), jnp.uint32),
+            ],
+            axis=0,
+        )
+        V, _ = _party_vandermonde(n)
+        s = _party_matmul(V, coeffs)  # (n, L) blinding scalars, s(0) = 0
+        G = _gen_point(fld)
+        Gb = cv.JacPoint(
+            jnp.broadcast_to(G.x, (n,) + G.x.shape).astype(jnp.uint32),
+            jnp.broadcast_to(G.y, (n,) + G.y.shape).astype(jnp.uint32),
+            jnp.broadcast_to(G.z, (n,) + G.z.shape).astype(jnp.uint32),
+        )
+        sG = _g_scale_each(fld, Gb, s)
+        vb = cv.JacPoint(
+            jnp.broadcast_to(value.x, (n,) + value.x.shape).astype(jnp.uint32),
+            jnp.broadcast_to(value.y, (n,) + value.y.shape).astype(jnp.uint32),
+            jnp.broadcast_to(value.z, (n,) + value.z.shape).astype(jnp.uint32),
+        )
+        return cv.point_add(fld, vb, sG)
+
     def g_reveal(self, fld, sh: cv.JacPoint) -> cv.JacPoint:
         self.run_deferred_checks()
+        self.run_group_checks()
         g = cv.JacPoint(
             self.net.all_gather(sh.x),
             self.net.all_gather(sh.y),
             self.net.all_gather(sh.z),
         )
-        return self._g_interp_at_zero(fld, g)
+        value, ok = self._g_open_raw(fld, g, self.t)
+        self.ctx.push_check("gsz_g_degree", ok)
+        return value
 
     def g_add(self, fld, a, b):
         return cv.point_add(fld, a, b)
@@ -477,9 +607,11 @@ class GszScheme:
         pubs = cv.JacPoint(stack(P_pub.x), stack(P_pub.y), stack(P_pub.z))
         return cv.point_add(fld, sh, pubs)
 
-    def g_scale_shared(self, fld, P_sh: cv.JacPoint, k_sh):
+    def g_scale_shared(self, fld, P_sh: cv.JacPoint, k_sh, queue_check=True):
         """shared point x shared scalar: local scale (degree 2t) + king
-        group degree-reduction (ref gsz20 group module :819-1374)."""
+        group degree-reduction; the (k, P, z) triple is QUEUED for the
+        deferred group product check drained before any group open
+        (ref gsz20 group mult :1112-1135 + GszGroupTriple queueing)."""
         n = self.net.n_parties()
         # local k_i * P_i per party
         if self._stacked():
@@ -498,20 +630,197 @@ class GszScheme:
             )
         else:
             z2 = cv.point_scale_const(fld, P_sh, k_sh)
-        # king reduction: interpolate value at 0 from all n points (deg 2t)
+        z = self._g_degree_reduce(fld, z2)
+        if queue_check:
+            self.group_triple_queue.append((fld, k_sh, P_sh, z))
+        return z
+
+    def _g_degree_reduce(self, fld, z2: cv.JacPoint) -> cv.JacPoint:
+        """King group degree-reduction: interpolate the degree-2t value at
+        0, deal a fresh RANDOMIZED degree-t sharing (ref king_compute
+        :1090-1110, with the randomization TODO completed)."""
         g = cv.JacPoint(
             self.net.gather_to_king(z2.x),
             self.net.gather_to_king(z2.y),
             self.net.gather_to_king(z2.z),
         )
         value = self._g_interp_at_zero(fld, g)
-        # fresh deg-t sharing with stubbed randomness -> constant sharing
-        fresh = self.g_from_public(fld, value)
+        fresh = self._g_share_poly(fld, value, self.t)
         return cv.JacPoint(
             self.net.scatter_from_king(fresh.x),
             self.net.scatter_from_king(fresh.y),
             self.net.scatter_from_king(fresh.z),
         )
+
+    # ------------------------------------------------------------------
+    # Deferred GROUP product verification (ref gsz20/mod.rs:1136-1374:
+    # GszGroupTriple queue -> hadamard_check -> group ip_check with field
+    # lines on xs, group lines on ys, recursive compression, blinded base)
+    # ------------------------------------------------------------------
+
+    def _g_stack_elems(self, pts_list):
+        ax = self._elem_axis()
+        return cv.JacPoint(
+            jnp.stack([p.x for p in pts_list], axis=ax),
+            jnp.stack([p.y for p in pts_list], axis=ax),
+            jnp.stack([p.z for p in pts_list], axis=ax),
+        )
+
+    def _g_take(self, pts: cv.JacPoint, lo, hi):
+        ax = self._elem_axis()
+        sl = (slice(None),) * ax + (slice(lo, hi),)
+        return cv.JacPoint(pts.x[sl], pts.y[sl], pts.z[sl])
+
+    def _g_elem(self, pts: cv.JacPoint, i):
+        ax = self._elem_axis()
+        sl = (slice(None),) * ax + (i,)
+        return cv.JacPoint(pts.x[sl], pts.y[sl], pts.z[sl])
+
+    def _g_ip_compute(self, fld, xs, ys: cv.JacPoint) -> cv.JacPoint:
+        """<xs, ys> = sum_i x_i * Y_i as a group share: local per-party
+        scale+fold (degree 2t) + king reduction, unqueued
+        (ref group ip_compute :1137-1160)."""
+        if self._stacked():
+            n = self.net.n_parties()
+            parts = []
+            for p in range(n):
+                sc = _g_scale_each(
+                    fld, cv.JacPoint(ys.x[p], ys.y[p], ys.z[p]), xs[p]
+                )
+                parts.append(_fold_points(fld, sc))
+            z2 = cv.JacPoint(
+                jnp.stack([p.x for p in parts]),
+                jnp.stack([p.y for p in parts]),
+                jnp.stack([p.z for p in parts]),
+            )
+        else:
+            sc = _g_scale_each(fld, ys, xs)
+            z2 = _fold_points(fld, sc)
+        return self._g_degree_reduce(fld, z2)
+
+    def _g_ip_check(self, fld, xs, ys: cv.JacPoint, ip: cv.JacPoint):
+        """Group ip check: recursive halving (field lines on xs, group
+        lines on ys, parabola on ip via public-coin Lagrange), blinded
+        single-element base case (ref :1280-1333)."""
+        ax = self._elem_axis()
+        n = xs.shape[ax]
+        while n > 1:
+            if n % 2 == 1:
+                pad = [(0, 0)] * xs.ndim
+                pad[ax] = (0, 1)
+                xs = jnp.pad(xs, pad)
+                padp = [(0, 0)] * ys.x.ndim
+                padp[ax] = (0, 1)
+                # identity point pad: x=y=z=0 is the identity encoding
+                ys = cv.JacPoint(
+                    jnp.pad(ys.x, padp), jnp.pad(ys.y, padp), jnp.pad(ys.z, padp)
+                )
+                n += 1
+            h = n // 2
+            xl, xr = self._take(xs, 0, h), self._take(xs, h, n)
+            yl, yr = self._g_take(ys, 0, h), self._g_take(ys, h, n)
+            ip_l = self._g_ip_compute(fld, xl, yl)
+            ip_r = cv.point_add(fld, ip, cv.point_neg(fld, ip_l))
+            xm = F.sub(FR, xr, xl)
+            ym = cv.point_add(fld, yr, cv.point_neg(fld, yl))
+            x3 = F.add(FR, xr, xm)
+            y3 = cv.point_add(fld, yr, ym)
+            ip3 = self._g_ip_compute(fld, x3, y3)
+            lam = self._coin()
+            one = jnp.asarray(FR.one_mont)
+            lam_m1 = F.sub(FR, lam, one)
+            xs = F.add(FR, xl, F.mul(FR, xm, lam_m1[(None,) * (xm.ndim - 1)]))
+            ys = cv.point_add(
+                fld, yl, _g_scale_each_nd(fld, ym, lam_m1)
+            )
+            ip = self._g_parabola_at(fld, ip_l, ip_r, ip3, lam)
+            n = h
+        # blinded base case: open x * xr, yr * Y, (xr * yr) * IP
+        xr_sh = self.king_share(self.ctx.rand_fr(()))
+        yr_sh = self.king_share(self.ctx.rand_fr(()))
+        x1 = self._squeeze_elem(xs)
+        y1 = self._g_elem(ys, 0)
+        ip_r = self.mul(xr_sh, yr_sh, queue_check=False)
+        x_blind = self.mul(x1, xr_sh, queue_check=False)
+        y_blind = self.g_scale_shared(fld, y1, yr_sh, queue_check=False)
+        ip_blind = self.g_scale_shared(fld, ip, ip_r, queue_check=False)
+        xv, okx = self._open_raw(x_blind, self.t)
+        g = lambda sh: cv.JacPoint(
+            self.net.all_gather(sh.x),
+            self.net.all_gather(sh.y),
+            self.net.all_gather(sh.z),
+        )
+        yv, oky = self._g_open_raw(fld, g(y_blind), self.t)
+        zv, okz = self._g_open_raw(fld, g(ip_blind), self.t)
+        self.ctx.push_check("gsz_g_ip_degree", okx & oky & okz)
+        want = cv.point_scale_const(fld, yv, xv)
+        self.ctx.push_check("gsz_g_ip_product", _g_points_eq(fld, want, zv))
+
+    def _g_parabola_at(self, fld, ip1, ip2, ip3, lam):
+        """Lagrange basis on {1,2,3} at public lam, applied to group shares."""
+        one = jnp.asarray(FR.one_mont)
+        two = F.add(FR, one, one)
+        three = F.add(FR, two, one)
+        l1 = F.sub(FR, lam, one)
+        l2 = F.sub(FR, lam, two)
+        l3 = F.sub(FR, lam, three)
+        inv2 = jnp.asarray(
+            F.ints_to_limbs(
+                [pow(2, P - 2, P) * ((1 << (F.LIMB_BITS * FR.L)) % P) % P], FR.L
+            )[0]
+        )
+        f1 = F.mul(FR, F.mul(FR, l2, l3), inv2)
+        f2 = F.neg(FR, F.mul(FR, l1, l3))
+        f3 = F.mul(FR, F.mul(FR, l1, l2), inv2)
+        t1 = _g_scale_each_nd(fld, ip1, f1)
+        t2 = _g_scale_each_nd(fld, ip2, f2)
+        t3 = _g_scale_each_nd(fld, ip3, f3)
+        return cv.point_add(fld, cv.point_add(fld, t1, t2), t3)
+
+    def run_group_checks(self):
+        """Drain the group triple queue per coordinate field: RLC the
+        triples into one inner-product claim, recursive group ip check
+        (ref check_accumulated_group_products :1352-1374)."""
+        if not self.group_triple_queue:
+            return
+        queue, self.group_triple_queue = self.group_triple_queue, []
+        by_fld = {}
+        for (fld, k, Ppt, z) in queue:
+            by_fld.setdefault(fld, []).append((k, Ppt, z))
+        ax = self._elem_axis()
+        for fld, triples in by_fld.items():
+            xs = jnp.stack([k for (k, _, _) in triples], axis=ax)
+            ys = self._g_stack_elems([p for (_, p, _) in triples])
+            zs = self._g_stack_elems([z for (_, _, z) in triples])
+            r = self._coin()
+            m = len(triples)
+            rb = jnp.broadcast_to(r, (m,) + r.shape).astype(jnp.uint32)
+            one = jnp.broadcast_to(
+                jnp.asarray(FR.one_mont), r.shape
+            ).astype(jnp.uint32)
+            rb = rb.at[0].set(one)
+            rpow = jax.lax.associative_scan(
+                lambda a, b: F.mul(FR, a, b), rb, axis=0
+            )
+            xs = self.scale(xs, rpow)
+            rzs = _g_scale_each_nd(fld, zs, rpow)
+            # sum the scaled z's over the element axis
+            def fold_ax(pts):
+                if ax == 1:
+                    n_par = pts.x.shape[0]
+                    parts = [
+                        _fold_points(fld, cv.JacPoint(pts.x[p], pts.y[p], pts.z[p]))
+                        for p in range(n_par)
+                    ]
+                    return cv.JacPoint(
+                        jnp.stack([q.x for q in parts]),
+                        jnp.stack([q.y for q in parts]),
+                        jnp.stack([q.z for q in parts]),
+                    )
+                return _fold_points(fld, pts)
+
+            ip = fold_ax(rzs)
+            self._g_ip_check(fld, xs, ys, ip)
 
 
 def _sum_axis1(term):

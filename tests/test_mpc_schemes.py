@@ -121,6 +121,54 @@ def test_group_protocols(name, n):
     ctx.assert_checks()
 
 
+@pytest.mark.parametrize("n", [3, 5])
+def test_gsz_group_scale_shared_degree_t(n):
+    """Shared scalar (degree t) x shared point through the king group
+    round: the fresh dealing must be a RANDOMIZED degree-t sharing (not the
+    reference's constant 'TODO: randomize' dealing, gsz20/mod.rs:1100), the
+    opened value exact, and the queued group triple must pass verification."""
+    ctx, sch = _mk("gsz", n)
+    k1, k2 = 4242, 999
+    p1 = H.G1.scalar_mul(H.G1_GEN, k1)
+    Pd = cv.g1_from_host([p1])
+    gsh = sch.g_from_public(cv.FQ_OPS, cv.JacPoint(Pd.x[0], Pd.y[0], Pd.z[0]))
+    ksh = sch.king_share(F.FR.to_device([k2])[0])
+    res = sch.g_scale_shared(cv.FQ_OPS, gsh, ksh)
+    # randomized dealing: party shares of the result must differ
+    assert not bool(
+        np.all(np.asarray(res.x[0]) == np.asarray(res.x[1]))
+    ), "group king round dealt a constant sharing"
+    rev = sch.g_reveal(cv.FQ_OPS, res)  # drains the group triple queue
+    assert (
+        cv.g1_to_host(cv.JacPoint(rev.x[None], rev.y[None], rev.z[None]))[0]
+        == H.G1.scalar_mul(p1, k2)
+    )
+    ctx.assert_checks()
+
+
+@pytest.mark.parametrize("n", [3, 4])
+def test_gsz_group_cheating_scale_aborts(n):
+    """An inconsistent GROUP triple (z != k * P) must be caught by the
+    deferred group hadamard -> ip_check pipeline at the next group open
+    (ref gsz20/mod.rs:1280-1374; round-2 verdict: group_triple_queue was
+    declared but never used)."""
+    ctx, sch = _mk("gsz", n)
+    p1 = H.G1.scalar_mul(H.G1_GEN, 31337)
+    Pd = cv.g1_from_host([p1])
+    Psc = cv.JacPoint(Pd.x[0], Pd.y[0], Pd.z[0])
+    gsh = sch.g_from_public(cv.FQ_OPS, Psc)
+    ksh = sch.king_share(F.FR.to_device([77])[0])
+    res = sch.g_scale_shared(cv.FQ_OPS, gsh, ksh)
+    # tamper: replace the queued product share with z + G (cheating king)
+    fld, kq, pq, zq = sch.group_triple_queue.pop()
+    gen = cv.g1_from_host([H.G1_GEN])
+    z_bad = sch.g_shift(fld, zq, cv.JacPoint(gen.x[0], gen.y[0], gen.z[0]))
+    sch.group_triple_queue.append((fld, kq, pq, z_bad))
+    sch.g_reveal(cv.FQ_OPS, res)
+    with pytest.raises(MpcCheckError):
+        ctx.assert_checks()
+
+
 def test_atomic_broadcast_post_commit_substitution_aborts():
     """A party substituting its payload AFTER the commitment round must be
     caught by the commit-then-open verification (ref channel.rs:50-75
