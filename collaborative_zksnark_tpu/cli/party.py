@@ -33,7 +33,10 @@ from functools import partial
 
 def main(argv=None):
     ap = argparse.ArgumentParser("party")
-    ap.add_argument("computation", choices=["sum", "product", "inv"])
+    ap.add_argument(
+        "computation",
+        choices=["sum", "product", "inv", "groth16", "plonk", "marlin"],
+    )
     ap.add_argument("--hosts", required=True, help="JSON hosts file")
     ap.add_argument("--party", type=int, required=True)
     ap.add_argument("--alg", choices=["hbc", "spdz", "gsz"], default="hbc")
@@ -65,6 +68,9 @@ def main(argv=None):
         num_processes=n_parties,
         process_id=args.party,
     )
+
+    if args.computation in ("groth16", "plonk", "marlin"):
+        return _run_snark(args, n_parties)
 
     import jax.numpy as jnp
     import numpy as np
@@ -171,6 +177,90 @@ def main(argv=None):
         flush=True,
     )
     print(f"party {args.party} stats: {net.stats.as_dict()}", flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+def _run_snark(args, n_parties):
+    """Collaborative SNARK prove as REAL OS processes: the full eager
+    prover stack (incl. host Fiat-Shamir between rounds) runs unchanged on
+    ProcNet's cross-process collectives.  Analog of the reference's
+    mpc-snarks/test.zsh groth16/plonk/marlin 2-process rows
+    (ref mpc-snarks/src/groth.rs:11-42 mpc_test_prove_and_verify)."""
+    import numpy as np
+
+    from ..algebra import bls12_377 as C
+    from ..algebra import field as F
+    from ..mpc import wire
+    from ..mpc.context import MpcContext
+    from ..parallel.net import ProcNet
+    from ..utils.timers import timed
+
+    P = C.R_MOD
+    net = ProcNet(n_parties, args.party)
+    ctx = MpcContext(net, seed=args.seed + 1, party_id=args.party)
+    scheme = wire.make_scheme(args.alg, ctx)
+    rng = np.random.default_rng(args.seed)
+    x0 = int.from_bytes(rng.bytes(40), "little") % P
+
+    if args.computation == "groth16":
+        from ..relations import r1cs
+        from ..snark import groth16
+
+        cs, assign = r1cs.squaring_circuit(args.size)
+        pk, vk = groth16.setup(cs, seed=args.seed + 2)
+        inst, wit = assign(x0)
+        z_sh = scheme.king_share(F.FR.to_device(inst + wit))
+        r_sh = wire.rand_share(scheme)
+        s_sh = wire.rand_share(scheme)
+        net.stats.reset()
+        with timed("timed section"):
+            proof = groth16.prove_mpc(pk, cs, scheme, z_sh, r_sh, s_sh)
+            hp = groth16.reveal_proof(proof)
+        ok = groth16.verify(vk, hp, inst[1:])
+    elif args.computation == "marlin":
+        from ..relations import r1cs
+        from ..snark import marlin
+
+        cs, assign = r1cs.squaring_circuit(args.size)
+        srs = marlin.universal_setup(marlin.max_degree_for(cs), seed=args.seed + 2)
+        pk, vk = marlin.index(cs, srs)
+        inst, wit = assign(x0)
+        wit_sh = scheme.king_share(F.FR.to_device(wit))
+        net.stats.reset()
+        with timed("timed section"):
+            proof = marlin.prove(pk, scheme, inst, wit_sh)
+        ok = marlin.verify(vk, inst[1:], proof)
+    else:
+        from ..relations.plonk_circuit import CircuitLayout, PlonkCircuit
+        from ..snark import plonk
+
+        circ = PlonkCircuit.squaring(args.size, start=x0)
+        layout = CircuitLayout.from_circuit(circ)
+        srs = plonk.universal_setup(layout.n_gates, seed=args.seed + 2)
+        pk, vk = plonk.circuit_setup(srs, layout)
+        vals_sh = scheme.king_share(F.FR.to_device(circ.values))
+        pub_vals = {
+            "out": next(
+                circ.values[v] for v, nm in circ.pub_vars.items() if nm == "out"
+            )
+        }
+        net.stats.reset()
+        with timed("timed section"):
+            prover = plonk.Prover(scheme, pk)
+            proof = prover.prove(vals_sh, pub_vals)
+        ok = plonk.verify(vk, proof, pub_vals)
+
+    ctx.assert_checks()
+    assert ok, f"party {args.party}: proof did not verify"
+    print(
+        f"party {args.party}/{n_parties} [{args.alg}] {args.computation}: "
+        f"verified {ok}",
+        flush=True,
+    )
+    print(f"party {args.party} stats: {net.stats.as_dict()}", flush=True)
+    import jax
+
     jax.distributed.shutdown()
     return 0
 

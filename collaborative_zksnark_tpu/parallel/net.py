@@ -190,6 +190,139 @@ class StackedNet:
         return jnp.where(mask, value, other)
 
 
+class ProcNet:
+    """Real multi-process party net: one OS process per party over a
+    jax.distributed cluster, EAGER cross-process collectives via
+    jax.experimental.multihost_utils.
+
+    Shares are the local per-party slices (no party axis), like MeshNet —
+    but collectives run eagerly, so the FULL eager prover stack
+    (Groth16/Plonk/Marlin with host-side Fiat-Shamir between rounds) runs
+    unchanged across processes.  This is the deployment analog of the
+    reference's blocking-TCP mesh driven by the `proof`/`client` binaries
+    (ref mpc-net/src/multi.rs; mpc-snarks/test.zsh runs the SNARK matrix as
+    2 OS processes).
+
+    Privacy stance: king star ops are implemented over all-gathers, so
+    non-king parties technically receive the gathered rows they would not
+    see over a TCP star.  This matches the reference's benchmarking stance
+    (its dummy Beaver sources and cheat flag already make runs insecure,
+    ref Readme.md:5, channel.rs:86); byte accounting still counts STAR
+    traffic so the stats mirror a faithful deployment.
+    """
+
+    def __init__(self, n_parties: int, party_id: int):
+        self.n = n_parties
+        self.id = party_id
+        self.stats = Stats()
+
+    def _mhu(self):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils
+
+    def n_parties(self) -> int:
+        return self.n
+
+    def party_iota(self, extra_dims: int = 0):
+        idx = jnp.asarray(self.id, dtype=jnp.uint32)
+        return idx.reshape((1,) * max(extra_dims, 0)) if extra_dims else idx
+
+    def is_king(self, extra_dims: int = 0):
+        return self.party_iota(extra_dims) == 0
+
+    def all_gather(self, sh):
+        self.stats.broadcasts += 1
+        b = _nbytes(sh)
+        self.stats.bytes_sent += b * (self.n - 1)
+        self.stats.bytes_recv += b * (self.n - 1)
+        return self._mhu().process_allgather(sh, tiled=False)
+
+    def atomic_gather(self, sh, tamper_fn=None):
+        """Commit-then-open broadcast (ref channel.rs:50-75): digest round,
+        payload round, verify payloads against committed digests."""
+        from ..algebra.field import FR
+        from ..utils import arith_hash
+
+        flat = arith_hash.pack_stream(sh, batch_dims=0)
+        salt = jnp.full((FR.L,), self.id, jnp.uint32)
+        digest = arith_hash.tree_hash(flat, salt)
+        self.stats.broadcasts += 2
+        b = _nbytes(sh) + _nbytes(digest)
+        self.stats.bytes_sent += b * (self.n - 1)
+        self.stats.bytes_recv += b * (self.n - 1)
+        mhu = self._mhu()
+        digests = mhu.process_allgather(digest, tiled=False)   # commit
+        opened = mhu.process_allgather(sh, tiled=False)        # open
+        if tamper_fn is not None:
+            opened = tamper_fn(opened)
+        salts = (
+            jnp.arange(self.n, dtype=jnp.uint32)[:, None]
+            + jnp.zeros((self.n, FR.L), jnp.uint32)
+        )
+        reflat = arith_hash.pack_stream(opened, batch_dims=1)
+        recheck = arith_hash.tree_hash(reflat, salts)
+        return opened, jnp.all(recheck == digests)
+
+    def check_eq(self, value):
+        g = self._mhu().process_allgather(value, tiled=False)
+        return jnp.all(g == g[:1])
+
+    def exchange(self, sh):
+        assert self.n == 2, "exchange is the 2-party primitive"
+        self.stats.broadcasts += 1
+        b = _nbytes(sh)
+        self.stats.bytes_sent += b
+        self.stats.bytes_recv += b
+        g = self._mhu().process_allgather(sh, tiled=False)
+        return g[1 - self.id]
+
+    def atomic_exchange(self, sh, tamper_fn=None):
+        from ..algebra.field import FR
+        from ..utils import arith_hash
+
+        flat = arith_hash.pack_stream(sh, batch_dims=0)
+        salt = jnp.full((FR.L,), self.id, jnp.uint32)
+        digest = arith_hash.tree_hash(flat, salt)
+        mhu = self._mhu()
+        digests = mhu.process_allgather(digest, tiled=False)
+        opened_all = mhu.process_allgather(sh, tiled=False)
+        if tamper_fn is not None:
+            opened_all = tamper_fn(opened_all)
+        salts = (
+            jnp.arange(2, dtype=jnp.uint32)[:, None]
+            + jnp.zeros((2, FR.L), jnp.uint32)
+        )
+        reflat = arith_hash.pack_stream(opened_all, batch_dims=1)
+        recheck = arith_hash.tree_hash(reflat, salts)
+        return opened_all[1 - self.id], jnp.all(recheck == digests)
+
+    def gather_to_king(self, sh):
+        """Star gather; over processes this rides an all-gather (see class
+        docstring), but byte accounting is the star's."""
+        self.stats.to_king += 1
+        b = _nbytes(sh)
+        self.stats.bytes_sent += b
+        self.stats.bytes_recv += b * (self.n - 1)
+        return self._mhu().process_allgather(sh, tiled=False)
+
+    def scatter_from_king(self, full):
+        """Star scatter: the king's (P, ...) rows, one per party; non-king
+        contributions are discarded (king's array wins the broadcast)."""
+        self.stats.from_king += 1
+        b = _nbytes(full) // self.n
+        self.stats.bytes_sent += b * (self.n - 1)
+        self.stats.bytes_recv += b
+        kings = self._mhu().broadcast_one_to_all(np.asarray(full))
+        return jnp.asarray(kings)[self.id]
+
+    def stack_public(self, pub):
+        return pub  # replicated by construction
+
+    def where_king(self, value, other):
+        return value if self.id == 0 else other
+
+
 class MeshNet:
     """Parties = one axis of a jax Mesh; use inside shard_map only.
 

