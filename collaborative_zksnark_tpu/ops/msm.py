@@ -249,6 +249,20 @@ def _gather_point(pts: JacPoint, idx) -> JacPoint:
 # ---------------------------------------------------------------------------
 
 
+def _to_kplanes(a, R: int, K: int, m: int, T: int, L: int):
+    """(K*R, L) element-major stream (row r = stream indices r*K..r*K+K-1)
+    -> (K, L, 8, C) per-step plane stacks (module-level so the layout math
+    is unit-testable without Pallas)."""
+    from . import pallas_field as PF
+
+    nt = m // (PF.S_SUB * T)
+    a = jnp.moveaxis(a.reshape(R, K, L), 1, 0)  # (K, R, L)
+    if m != R:
+        a = jnp.pad(a, ((0, 0), (0, m - R), (0, 0)))
+    x = a.reshape(K, nt, PF.S_SUB, T, L)
+    return x.transpose(0, 4, 2, 1, 3).reshape(K, L, PF.S_SUB, nt * T)
+
+
 def _blocked_prefix_planes(pts: JacPoint, R: int):
     """Plane-resident analog of `_blocked_prefix` for the G1 path.
 
@@ -275,12 +289,7 @@ def _blocked_prefix_planes(pts: JacPoint, R: int):
     L = FQ.L
 
     def to_kplanes(a):
-        # (K*R, L): row r holds stream indices r*K .. r*K+K-1
-        a = jnp.moveaxis(a.reshape(R, K, L), 1, 0)  # (K, R, L)
-        if m != R:
-            a = jnp.pad(a, ((0, 0), (0, m - R), (0, 0)))
-        x = a.reshape(K, nt, PF.S_SUB, T, L)
-        return x.transpose(0, 4, 2, 1, 3).reshape(K, L, PF.S_SUB, nt * T)
+        return _to_kplanes(a, R, K, m, T, L)
 
     pxk, pyk, pzk = to_kplanes(pts.x), to_kplanes(pts.y), to_kplanes(pts.z)
     kern = PC._proj_add_kernel(nt, T)
@@ -424,7 +433,9 @@ def _pippenger_kernel(fld, c, proj=False):
             # row width: keep the per-step add wide (VPU-efficient) while
             # K = F/R stays small enough that the scan dominates no latency
             R = 1 << max(8, min(13, Fsz.bit_length() - 5))
-            if proj and F._pallas_ok():
+            # plane path hard-codes FQ constants + the G1 projective-add
+            # kernel — gate on the field, not just proj
+            if proj and fld is FQ_OPS and F._pallas_ok():
                 ys_planes, row_excl, K, T = _blocked_prefix_planes(pts_sorted, R)
                 prefix_at = lambda e: strat.add(
                     _gather_kplanes(ys_planes, e, K, T),

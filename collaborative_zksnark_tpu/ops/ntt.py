@@ -21,10 +21,16 @@ kernels run unchanged on shares.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Opt-in plane-resident NTT stage loop.  Read ONCE at import: set it before
+# the first domain call (the jitted entry points would otherwise silently
+# ignore later flips through the jit cache).
+_NTT_PLANES = _os.environ.get("CZTPU_NTT_PLANES", "0") == "1"
 
 from ..algebra import bls12_377 as C
 from ..algebra import field as F
@@ -102,8 +108,13 @@ class Radix2Domain:
         return _pow_table(self.omega, self.n, self.spec.p)
 
     # -- core transforms ---------------------------------------------------
-    def _butterflies_planes(self, x, tws):
+    def _butterflies_planes(self, x, tws, kern=None):
         """Plane-resident stage loop (TPU, unbatched x of shape (n, L)).
+
+        `kern` is injectable for layout testing: the default is the fused
+        Pallas butterfly; tests pass a plain-jnp emulation so the pairing /
+        re-interleave reshapes are pinned WITHOUT Pallas (advisor round-2
+        medium finding: the plane layouts had no default-run coverage).
 
         The element-major loop below pays a (n,L)<->(L,8,C) relayout of
         lo/hi/tw per stage inside butterfly_flat — pure transpose traffic on
@@ -118,8 +129,9 @@ class Radix2Domain:
         n = self.n
         L = spec.L
         C = n // 8
-        T = PF.T_BIG
-        kern = PF._butterfly_kernel(spec, (C // 2) // T, T)
+        if kern is None:
+            T = PF.T_BIG
+            kern = PF._butterfly_kernel(spec, (C // 2) // T, T)
         xp = x.reshape(8, C, L).transpose(2, 0, 1)          # (L, 8, C)
         for s in range(1, self.log_n + 1):
             h = 1 << (s - 1)
@@ -168,14 +180,10 @@ class Radix2Domain:
         # loop at 2^20 (78.4 vs 74.9 ms — the NTT is bound by the per-stage
         # butterfly kernel itself, not relayout, unlike the MSM scan).  Kept
         # opt-in as the substrate for multi-stage in-kernel fusion.
-        import os as _os
-
-        if (
-            use_fused
-            and extra == 0
-            and n >= 8192
-            and _os.environ.get("CZTPU_NTT_PLANES", "0") == "1"
-        ):
+        # (_NTT_PLANES is latched at module import: these entry points are
+        # jitted, so a post-first-call env flip would be silently ignored by
+        # the jit cache anyway.)
+        if use_fused and extra == 0 and n >= 8192 and _NTT_PLANES:
             return self._butterflies_planes(x, tws)
         for s in range(1, self.log_n + 1):
             m = 1 << s

@@ -67,15 +67,11 @@ def main():
     B = 1 << 12                      # batch of independent DFT-16s
     xs = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
           for _ in range(B)]
-    # X[j, lb*B + b]
-    X = np.zeros((16, LW * B), np.int8)
-    for b, vec in enumerate(xs[: 1 << 10]):  # host digitization is slow; fill
-        for j, v in enumerate(vec):          # the checked prefix exactly and
-            for lb, d in enumerate(to_digits(v, LW)):
-                X[j, lb * B + b] = d
-    # random digits for the rest (timing only)
-    X[:, :] = np.where(X == 0, rng.integers(0, 1 << D, X.shape, dtype=np.int8), X)
-    for b, vec in enumerate(xs[: 1 << 10]):  # rewrite checked prefix
+    # X[j, lb*B + b]: random timing filler first, then the checked prefix
+    # written ONCE (host digitization is slow, so only the first 2^10
+    # columns carry real digits; the rest only feed the timing run)
+    X = rng.integers(0, 1 << D, (16, LW * B), dtype=np.int8)
+    for b, vec in enumerate(xs[: 1 << 10]):
         for j, v in enumerate(vec):
             for lb, d in enumerate(to_digits(v, LW)):
                 X[j, lb * B + b] = d
