@@ -309,6 +309,171 @@ def prove(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont, hooks=LOCAL_HOOKS) -> Pro
 
 
 # ---------------------------------------------------------------------------
+# Data-axis-sharded prover (SURVEY.md §2.3/§5.7: the reference parallelizes
+# MSM/FFT inside every prove with rayon — ec/src/msm/variable_base.rs:36,
+# poly/src/domain/radix2/fft.rs:81+; here the same axes shard over a mesh
+# "data" axis with 4-step NTTs + gathered-fold MSMs.  Composes with the MPC
+# "party" axis: run under a ("party", "data") mesh.)
+# ---------------------------------------------------------------------------
+
+def _split_dims(n: int, n_shards: int):
+    """n = n1 * n2 with both divisible by n_shards (n, n_shards pow2)."""
+    k = n.bit_length() - 1
+    n1 = 1 << (k // 2)
+    n2 = n // n1
+    assert n1 % n_shards == 0 and n2 % n_shards == 0, (n, n_shards)
+    return n1, n2
+
+
+def witness_map_sharded(cs: R1CS, scheme, z_sh, data_axis: str, n_data: int):
+    """The QAP witness map with every transform a 4-step sharded NTT over
+    the data axis (runs INSIDE shard_map).  z_sh: replicated-across-data
+    assignment (share or plain, (m, L)).  Returns (h_local, (n1, n2)):
+    this shard's h block in the odd-chain colshard layout (n2, n1/S, L);
+    pair static point queries via ntt_sharded.colshard_index_map."""
+    from ..ops import ntt_sharded as nsh
+
+    a_rows, _, _ = cs.padded_rows()
+    domain = ntt.get_radix2_domain(len(a_rows))
+    n = domain.n
+    n1, n2 = _split_dims(n, n_data)
+    mats = cs.device_matrices(n)
+    lin = scheme.lin_map
+
+    def shard_cols(vec):
+        return nsh.colshard_slice(vec, n1, n2, data_axis, n_data)
+
+    def chain2(ev_local):
+        t = nsh.transform_colshard(
+            ev_local, n1, n2, data_axis, n_data, inverse=True
+        )
+        return nsh.transform_colshard(
+            t, n2, n1, data_axis, n_data, coset="fwd"
+        )
+
+    a_cos = lin(lambda arr: chain2(shard_cols(sparse_matvec(mats[0], arr))), z_sh)
+    b_cos = lin(lambda arr: chain2(shard_cols(sparse_matvec(mats[1], arr))), z_sh)
+    c_cos = lin(lambda arr: chain2(shard_cols(sparse_matvec(mats[2], arr))), z_sh)
+
+    ab = scheme.mul(a_cos, b_cos)          # [NETWORK over party axis only]
+    num = scheme.sub(ab, c_cos)
+    zinv = domain.vanishing_on_coset_inv()
+    h_cos = lin(lambda arr: F.mul(FR, arr, zinv[None]), num)
+    h_loc = lin(
+        lambda arr: nsh.transform_colshard(
+            arr, n1, n2, data_axis, n_data, inverse=True, coset="inv"
+        ),
+        h_cos,
+    )
+    return h_loc, (n1, n2)
+
+
+def prove_data_sharded(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont, mesh,
+                       data_axis: str = "data") -> Proof:
+    """Single-prover Groth16 prove with the witness-map NTTs and all five
+    MSMs sharded over `mesh`'s data axis.  Same proof as `prove` (bit-exact
+    given the same randomness)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as Pspec
+    from jax.experimental.shard_map import shard_map
+
+    from ..mpc.local import LocalScheme
+    from ..ops import ntt_sharded as nsh
+    from ..parallel import sharded as shd
+
+    S = mesh.shape[data_axis]
+    a_rows, _, _ = cs.padded_rows()
+    domain = ntt.get_radix2_domain(len(a_rows))
+    n = domain.n
+    n1, n2 = _split_dims(n, S)
+    m = cs.num_variables
+    ninst = cs.num_instance
+
+    # static point blocking (outside shard_map)
+    h_blocks = shd.block_points(pk.h_query, nsh.colshard_index_map(n1, n2, S))
+    zmap = shd.block_index_map(m, S)
+    wmap = shd.block_index_map(m - ninst, S)
+    a_blocks = shd.block_points(pk.a_query, zmap)
+    b1_blocks = shd.block_points(pk.b_g1_query, zmap)
+    b2_blocks = shd.block_points(pk.b_g2_query, zmap)
+    l_blocks = shd.block_points(pk.l_query, wmap)
+    m_loc = zmap.shape[1]
+    w_loc = wmap.shape[1]
+    z_pad = jnp.pad(z, ((0, S * m_loc - m), (0, 0)))
+
+    local = LocalScheme()
+    pt_spec = cv.JacPoint(Pspec(data_axis), Pspec(data_axis), Pspec(data_axis))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(Pspec(), Pspec(), Pspec(),
+                  pt_spec, pt_spec, pt_spec, pt_spec, pt_spec),
+        out_specs=tuple(
+            cv.JacPoint(Pspec(), Pspec(), Pspec()) for _ in range(3)
+        ),
+        check_rep=False,
+    )
+    def step(z_full, r_m, s_m, hb, ab, b1b, b2b, lb):
+        unblk = lambda p: cv.JacPoint(p.x[0], p.y[0], p.z[0])
+        hb, ab, b1b, b2b, lb = map(unblk, (hb, ab, b1b, b2b, lb))
+        h_loc, _ = witness_map_sharded(cs, local, z_full[:m], data_axis, S)
+        h_flat = h_loc.reshape(-1, FR.L)
+        h_acc = shd.msm_data_sharded(cv.FQ_OPS, hb, h_flat, data_axis)
+
+        didx = jax.lax.axis_index(data_axis)
+        z_loc = jax.lax.dynamic_slice_in_dim(z_full, didx * m_loc, m_loc, 0)
+        wit_full = jnp.pad(z_full[ninst:m], ((0, S * w_loc - (m - ninst)), (0, 0)))
+        w_sl = jax.lax.dynamic_slice_in_dim(wit_full, didx * w_loc, w_loc, 0)
+        a_acc = shd.msm_data_sharded(cv.FQ_OPS, ab, z_loc, data_axis)
+        b1_acc = shd.msm_data_sharded(cv.FQ_OPS, b1b, z_loc, data_axis)
+        b2_acc = shd.msm_data_sharded(cv.FQ2_OPS, b2b, z_loc, data_axis)
+        l_acc = shd.msm_data_sharded(cv.FQ_OPS, lb, w_sl, data_axis)
+
+        r_delta_g1 = _scalar_mul_inline(cv.FQ_OPS, pk.delta_g1, r_m)
+        s_delta_g1 = _scalar_mul_inline(cv.FQ_OPS, pk.delta_g1, s_m)
+        s_delta_g2 = _scalar_mul_inline(cv.FQ2_OPS, pk.delta_g2, s_m)
+        g_a = cv.point_add(cv.FQ_OPS, cv.point_add(cv.FQ_OPS, pk.alpha_g1, a_acc), r_delta_g1)
+        g1_b = cv.point_add(cv.FQ_OPS, cv.point_add(cv.FQ_OPS, pk.beta_g1, b1_acc), s_delta_g1)
+        g2_b = cv.point_add(cv.FQ2_OPS, cv.point_add(cv.FQ2_OPS, pk.beta_g2, b2_acc), s_delta_g2)
+        s_ga = _scalar_mul_inline(cv.FQ_OPS, g_a, s_m)
+        r_gb = _scalar_mul_inline(cv.FQ_OPS, g1_b, r_m)
+        rs = F.mul(FR, r_m[None], s_m[None])[0]
+        rs_delta = _scalar_mul_inline(cv.FQ_OPS, pk.delta_g1, rs)
+        g_c = cv.point_add(cv.FQ_OPS, s_ga, r_gb)
+        g_c = cv.point_add(cv.FQ_OPS, g_c, cv.point_neg(cv.FQ_OPS, rs_delta))
+        g_c = cv.point_add(cv.FQ_OPS, g_c, l_acc)
+        g_c = cv.point_add(cv.FQ_OPS, g_c, h_acc)
+        return g_a, g2_b, g_c
+
+    with mesh:
+        g_a, g2_b, g_c = jax.jit(step)(
+            z_pad, r_mont, s_mont, h_blocks, a_blocks, b1_blocks, b2_blocks,
+            l_blocks,
+        )
+    return Proof(a=g_a, b=g2_b, c=g_c)
+
+
+def _scalar_mul_inline(fld, Ppt: cv.JacPoint, k_mont):
+    """Unjitted scalar mul (for use inside an outer trace/shard_map)."""
+    sc = F.from_mont(FR, k_mont[None])[0]
+    zero = msm_mod._scalar_zero_point(
+        fld, cv.JacPoint(Ppt.x[None], Ppt.y[None], Ppt.z[None])
+    )
+
+    def body(i, acc):
+        acc = cv.point_double(fld, acc)
+        t = msm_mod.FR_BITS - 1 - i
+        limb = jax.lax.dynamic_index_in_dim(sc, t // F.LIMB_BITS, keepdims=False)
+        bit = (limb >> (t % F.LIMB_BITS).astype(jnp.uint32)) & 1
+        cand = cv.point_add(fld, acc, Ppt)
+        return cv.point_select(fld, bit == 1, cand, acc)
+
+    return jax.lax.fori_loop(0, msm_mod.FR_BITS, body, zero)
+
+
+# ---------------------------------------------------------------------------
 # MPC prover: the same pipeline over secret-shared assignments
 # (ref flow: mpc-snarks/src/proof.rs:112-143 + groth/prover.rs over
 #  MpcPairingEngine shares; SURVEY.md §3.1)
