@@ -119,23 +119,32 @@ def main():
     )
 
     # ---- MSM throughput at 2^16 (config 2) ------------------------------
-    # Points come from HOST scalar-muls tiled to size (64 distinct points
-    # repeated): bucket/add behavior of the branchless Pippenger is identical
-    # for repeated points, and this keeps the costly fixed-base device kernel
-    # compile OUT of the headline path (round-1 rc=124 root cause).
+    # 2^16 DISTINCT random points via the native host fixed-base kernel
+    # (round-2 verdict item 9: no tiled-points caveat; the native path makes
+    # this cheap and keeps device fixed-base compiles out of the headline).
     n_msm = 1 << 16
-    n_distinct = 64
-    host_pts = [
-        H.G1.scalar_mul(H.G1_GEN, int(rng.integers(1, 1 << 62)))
-        for _ in range(n_distinct)
-    ]
-    pts1 = cv.g1_from_host(host_pts)
-    reps_t = n_msm // n_distinct
-    pts = cv.JacPoint(
-        jnp.tile(pts1.x, (reps_t, 1)),
-        jnp.tile(pts1.y, (reps_t, 1)),
-        jnp.tile(pts1.z, (reps_t, 1)),
-    )
+    from collaborative_zksnark_tpu.algebra import ffi_field
+
+    if ffi_field.HAVE_FFI:
+        pts = msm_mod.fixed_base_msm_ints(
+            cv.FQ_OPS,
+            H.G1,
+            H.G1_GEN,
+            [int.from_bytes(rng.bytes(32), "little") % P for _ in range(n_msm)],
+        )
+    else:  # no native lib: tiled distinct points (timing-neutral fallback)
+        n_distinct = 64
+        host_pts = [
+            H.G1.scalar_mul(H.G1_GEN, int(rng.integers(1, 1 << 62)))
+            for _ in range(n_distinct)
+        ]
+        pts1 = cv.g1_from_host(host_pts)
+        reps_t = n_msm // n_distinct
+        pts = cv.JacPoint(
+            jnp.tile(pts1.x, (reps_t, 1)),
+            jnp.tile(pts1.y, (reps_t, 1)),
+            jnp.tile(pts1.z, (reps_t, 1)),
+        )
     np.asarray(pts.x[0])
     sc = F.rand(F.FR, rng, (n_msm,))
     res = msm_mod.msm(cv.FQ_OPS, pts, sc)
@@ -171,26 +180,33 @@ def main():
 
 
 def extras(rng):
+    """Reference-scale rows (budget-guarded, stderr): Groth16 local at
+    2^14/2^20 and 2-party SPDZ at 2^16 (+2^20 budget permitting) on the
+    chip — the BASELINE.md:15-17 flagship configs (ref: 127.4 s local /
+    133.2 s 2-party SPDZ @2^20 on GCP VMs, analysis/data/groth16.csv:22).
+    Setup runs on the NATIVE host fixed-base kernel and ships points once
+    (the round-2 198 s device-compile setup wall is gone)."""
     import jax
     import numpy as np
 
     from collaborative_zksnark_tpu.algebra import field as F
+    from collaborative_zksnark_tpu.mpc import wire
+    from collaborative_zksnark_tpu.mpc.context import MpcContext
+    from collaborative_zksnark_tpu.parallel.net import StackedNet
     from collaborative_zksnark_tpu.relations import r1cs
     from collaborative_zksnark_tpu.snark import groth16
 
-    # Groth16 local prove at 2^14 (BASELINE config 3 size; ref 2-party SPDZ
-    # 2^14 is the flagship MPC config).  Reference local 2^11 = 0.568 s
-    # (exp.csv:74); large sizes scale ~linearly on the reference.
-    for logn in (11, 14):
-        if remaining() < 300:
-            log(f"skipping groth16 2^{logn}: budget")
-            return
+    def build(logn, seed):
         size = 1 << logn
-        cs, assign = r1cs.squaring_circuit(size)
         t0 = time.perf_counter()
-        pk, vk = groth16.setup(cs, seed=1)
-        np.asarray(pk.a_query.x[0])
-        log(f"groth16 setup 2^{logn}: {time.perf_counter()-t0:.1f}s")
+        cs, assign = r1cs.squaring_circuit(size)
+        pk, vk = groth16.setup(cs, seed=seed)
+        np.asarray(pk.a_query.x[0])  # land the key transfer
+        log(f"groth16 setup 2^{logn}: {time.perf_counter()-t0:.1f}s "
+            f"(native fixed-base + one device transfer)")
+        return cs, assign, pk, vk
+
+    def local_prove(cs, assign, pk, vk, logn):
         inst, wit = assign(12345)
         z = F.FR.to_device(inst + wit)
         r_m = F.rand(F.FR, rng, ())
@@ -200,10 +216,71 @@ def extras(rng):
         t0 = time.perf_counter()
         proof = groth16.prove(pk, cs, z, r_m, s_m)
         hp = groth16.reveal_proof(proof)
-        prove_time = time.perf_counter() - t0
+        dt = time.perf_counter() - t0
         ok = groth16.verify(vk, hp, inst[1:])
-        log(f"groth16 local prove 2^{logn}: {prove_time:.3f}s verified={ok}")
+        log(f"groth16 local prove 2^{logn}: {dt:.3f}s verified={ok}  "
+            f"(ref @2^20: 127.4s)")
         assert ok
+        return dt
+
+    def spdz_prove(cs, assign, pk, vk, logn):
+        """2-party SPDZ collaborative prove, stacked on the one chip: the
+        wall carries BOTH parties' compute serially + MAC tracking (a real
+        2-chip deployment runs the halves concurrently)."""
+        inst, wit = assign(777)
+        net = StackedNet(2)
+        ctx = MpcContext(net, seed=9)
+        sch = wire.make_scheme("spdz", ctx)
+        z_sh = sch.king_share(F.FR.to_device(inst + wit))
+        r_sh = wire.rand_share(sch)
+        s_sh = wire.rand_share(sch)
+        pf = groth16.prove_mpc(pk, cs, sch, z_sh, r_sh, s_sh)  # warm-up
+        groth16.reveal_proof(pf)
+        net2 = StackedNet(2)
+        ctx2 = MpcContext(net2, seed=9)
+        sch2 = wire.make_scheme("spdz", ctx2)
+        z_sh = sch2.king_share(F.FR.to_device(inst + wit))
+        r_sh = wire.rand_share(sch2)
+        s_sh = wire.rand_share(sch2)
+        t0 = time.perf_counter()
+        pf = groth16.prove_mpc(pk, cs, sch2, z_sh, r_sh, s_sh)
+        hp = groth16.reveal_proof(pf)
+        dt = time.perf_counter() - t0
+        ok = groth16.verify(vk, hp, inst[1:])
+        ctx2.assert_checks()
+        log(f"groth16 SPDZ 2-party prove 2^{logn}: {dt:.3f}s "
+            f"(both parties stacked on 1 chip; per-party-equiv "
+            f"~{dt/2:.1f}s; ref 2x VM @2^20: 133.2s) verified={ok}")
+        assert ok
+        return dt
+
+    # 2^14 first (cheap insurance rows), then the 2^20 flagship
+    if remaining() < 200:
+        return
+    cs, assign, pk, vk = build(14, seed=1)
+    local_prove(cs, assign, pk, vk, 14)
+    if remaining() > 250:
+        spdz_prove(cs, assign, pk, vk, 14)
+    del pk
+
+    if remaining() < 400:
+        log("skipping 2^16/2^20 rows: budget")
+        return
+    cs16, assign16, pk16, vk16 = build(16, seed=2)
+    local_prove(cs16, assign16, pk16, vk16, 16)
+    if remaining() > 300:
+        spdz_prove(cs16, assign16, pk16, vk16, 16)
+    del pk16
+
+    if remaining() < 600:
+        log("skipping 2^20 rows: budget")
+        return
+    cs20, assign20, pk20, vk20 = build(20, seed=3)
+    t_local = local_prove(cs20, assign20, pk20, vk20, 20)
+    log(f"vs reference local @2^20: {127.4/t_local:.2f}x")
+    if remaining() > max(350, 3.5 * t_local):
+        t_spdz = spdz_prove(cs20, assign20, pk20, vk20, 20)
+        log(f"vs reference 2-party SPDZ @2^20: {133.2/t_spdz:.2f}x")
 
 
 if __name__ == "__main__":

@@ -155,7 +155,12 @@ def setup(cs: R1CS, seed: int = 0):
     l_scalars = [
         (beta * u[i] + alpha * v[i] + w[i]) % P * dinv % P for i in range(ninst, m)
     ]
-    h_scalars = [pow(tau, j, P) * zt % P * dinv % P for j in range(n - 1)]
+    zd = zt * dinv % P
+    h_scalars = [0] * (n - 1)
+    tp = 1
+    for j in range(n - 1):  # incremental tau powers (no per-j modpow)
+        h_scalars[j] = tp * zd % P
+        tp = tp * tau % P
 
     fb_g1 = lambda scalars: msm_mod.fixed_base_msm_ints(
         cv.FQ_OPS, H.G1, H.G1_GEN, scalars, c=8
