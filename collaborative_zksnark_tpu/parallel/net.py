@@ -215,6 +215,19 @@ class ProcNet:
         self.n = n_parties
         self.id = party_id
         self.stats = Stats()
+        # Link shaping (the mahimahi analog, ref mpc-snarks/scripts/
+        # bandwidth_bench.zsh): CZTPU_LINK_MBPS throttles this party's
+        # effective link by sleeping bytes_sent / rate per collective.
+        import os as _os
+
+        rate = _os.environ.get("CZTPU_LINK_MBPS")
+        self.link_bytes_per_s = float(rate) * 1e6 if rate else None
+
+    def _shape(self, nbytes: int):
+        if self.link_bytes_per_s:
+            import time as _time
+
+            _time.sleep(nbytes / self.link_bytes_per_s)
 
     def _mhu(self):
         from jax.experimental import multihost_utils
@@ -236,6 +249,7 @@ class ProcNet:
         b = _nbytes(sh)
         self.stats.bytes_sent += b * (self.n - 1)
         self.stats.bytes_recv += b * (self.n - 1)
+        self._shape(b * (self.n - 1))
         return self._mhu().process_allgather(sh, tiled=False)
 
     def atomic_gather(self, sh, tamper_fn=None):
@@ -251,6 +265,7 @@ class ProcNet:
         b = _nbytes(sh) + _nbytes(digest)
         self.stats.bytes_sent += b * (self.n - 1)
         self.stats.bytes_recv += b * (self.n - 1)
+        self._shape(b * (self.n - 1))
         mhu = self._mhu()
         digests = mhu.process_allgather(digest, tiled=False)   # commit
         opened = mhu.process_allgather(sh, tiled=False)        # open
@@ -274,6 +289,7 @@ class ProcNet:
         b = _nbytes(sh)
         self.stats.bytes_sent += b
         self.stats.bytes_recv += b
+        self._shape(b)
         g = self._mhu().process_allgather(sh, tiled=False)
         return g[1 - self.id]
 
@@ -304,6 +320,7 @@ class ProcNet:
         b = _nbytes(sh)
         self.stats.bytes_sent += b
         self.stats.bytes_recv += b * (self.n - 1)
+        self._shape(b * (self.n - 1) if self.id == 0 else b)
         return self._mhu().process_allgather(sh, tiled=False)
 
     def scatter_from_king(self, full):
@@ -313,6 +330,7 @@ class ProcNet:
         b = _nbytes(full) // self.n
         self.stats.bytes_sent += b * (self.n - 1)
         self.stats.bytes_recv += b
+        self._shape(b * (self.n - 1) if self.id == 0 else b)
         kings = self._mhu().broadcast_one_to_all(np.asarray(full))
         return jnp.asarray(kings)[self.id]
 

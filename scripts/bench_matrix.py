@@ -166,7 +166,12 @@ def main():
                 rows.append(
                     dict(system=system, alg=alg, parties=parties,
                          size_log2=logn, setup_s=round(setup_s, 3),
-                         prove_s=round(prove_s, 3), verify_ok=ok)
+                         prove_s=round(prove_s, 3),
+                         # stacked sim carries ALL parties serially in one
+                         # process; per-party-equivalent is the comparable
+                         # number against the reference's per-machine walls
+                         per_party_s=round(prove_s / parties, 3),
+                         verify_ok=ok)
                 )
                 print(
                     f"{system} {alg} {parties}p 2^{logn}: "
