@@ -254,33 +254,33 @@ def extras(rng):
         assert ok
         return dt
 
-    # 2^14 first (cheap insurance rows), then the 2^20 flagship
-    if remaining() < 200:
-        return
-    cs, assign, pk, vk = build(14, seed=1)
-    local_prove(cs, assign, pk, vk, 14)
-    if remaining() > 250:
-        spdz_prove(cs, assign, pk, vk, 14)
-    del pk
+    # the 2^20 FLAGSHIP first (BASELINE.md:15-17), then smaller insurance
+    # rows with whatever budget remains; each block is fault-isolated
+    def block20():
+        if remaining() < 700:
+            log("skipping 2^20 rows: budget")
+            return
+        cs20, assign20, pk20, vk20 = build(20, seed=3)
+        t_local = local_prove(cs20, assign20, pk20, vk20, 20)
+        log(f"vs reference local @2^20: {127.4/t_local:.2f}x")
+        if remaining() > max(350, 3.5 * t_local):
+            t_spdz = spdz_prove(cs20, assign20, pk20, vk20, 20)
+            log(f"vs reference 2-party SPDZ @2^20: {133.2/t_spdz:.2f}x")
 
-    if remaining() < 400:
-        log("skipping 2^16/2^20 rows: budget")
-        return
-    cs16, assign16, pk16, vk16 = build(16, seed=2)
-    local_prove(cs16, assign16, pk16, vk16, 16)
-    if remaining() > 300:
-        spdz_prove(cs16, assign16, pk16, vk16, 16)
-    del pk16
+    def block(logn, seed):
+        if remaining() < 250:
+            log(f"skipping 2^{logn} rows: budget")
+            return
+        cs, assign, pk, vk = build(logn, seed=seed)
+        local_prove(cs, assign, pk, vk, logn)
+        if remaining() > 200:
+            spdz_prove(cs, assign, pk, vk, logn)
 
-    if remaining() < 600:
-        log("skipping 2^20 rows: budget")
-        return
-    cs20, assign20, pk20, vk20 = build(20, seed=3)
-    t_local = local_prove(cs20, assign20, pk20, vk20, 20)
-    log(f"vs reference local @2^20: {127.4/t_local:.2f}x")
-    if remaining() > max(350, 3.5 * t_local):
-        t_spdz = spdz_prove(cs20, assign20, pk20, vk20, 20)
-        log(f"vs reference 2-party SPDZ @2^20: {133.2/t_spdz:.2f}x")
+    for blk in (block20, lambda: block(14, 1), lambda: block(16, 2)):
+        try:
+            blk()
+        except Exception as e:  # fault-isolate: later blocks still run
+            log(f"block failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -554,21 +554,11 @@ def fixed_base_msm_ints(fld, host_curve, base_host, scalar_ints, c: int = 8):
         R = 1 << (F.LIMB_BITS * FR.L)
         sc_np = F.ints_to_limbs([v * R % C.R_MOD for v in scalar_ints], FR.L)
         ox, oy, oz = ffi_field.fixed_base_host(fld is FQ2_OPS, base_host, sc_np)
-        inf = ~np.asarray(oz.reshape(oz.shape[0], -1)).any(axis=1)
-        x = jnp.asarray(ox)
-        y = jnp.asarray(oy)
-        from ..algebra.field import FQ
-
-        one = jnp.asarray(FQ.one_mont)
-        if fld is FQ2_OPS:
-            one = jnp.stack([one, jnp.zeros_like(one)], axis=0)
-        z = jnp.where(
-            jnp.asarray(inf)[(...,) + (None,) * one.ndim],
-            jnp.zeros_like(one),
-            one,
-        )
-        z = jnp.broadcast_to(z, x.shape).astype(jnp.uint32)
-        return JacPoint(x, y, z)
+        # ONE device transfer for all three coordinates (per-query where/
+        # broadcast device ops were a remote compile per shape; oz is
+        # already {0, Montgomery-one} from the kernel's normalization)
+        big = jnp.asarray(np.stack([ox, oy, oz]))
+        return JacPoint(big[0], big[1], big[2])
     return fixed_base_msm(fld, host_curve, base_host, FR.to_device(scalar_ints), c=c)
 
 

@@ -88,12 +88,19 @@ class Radix2Domain:
         # twiddles [w^0 .. w^(h-1)] with w = omega^(n / 2^s).
         self._tw_fwd = self._stage_twiddles(omega)
         self._tw_inv = self._stage_twiddles(self.omega_inv)
-        # jit entry points (per-instance compile, amortized via lru_cache'd
-        # domain construction + the persistent compilation cache)
-        self.fft = jax.jit(self.fft)
-        self.ifft = jax.jit(self.ifft)
-        self.coset_fft = jax.jit(self.coset_fft)
-        self.coset_ifft = jax.jit(self.coset_ifft)
+        # jit entry points with ALL tables passed as runtime ARGUMENTS:
+        # captured numpy twiddle tables get baked into the HLO as literal
+        # constants, and at 2^19+ the serialized module (64+ MB of twiddles)
+        # exceeds the remote-compile request limit on the TPU tunnel
+        # (observed: HTTP 413 on coset_fft @2^20).  Device tables are built
+        # lazily, once, and live in HBM across calls.
+        self._dev_tables = None
+        self._coset_dev_tables = None
+        self._fft_j = jax.jit(self._fft_core)
+        self._ifft_j = jax.jit(self._ifft_core)
+        self._ifft_un_j = jax.jit(self._ifft_unnorm_core)
+        self._coset_fft_j = jax.jit(self._coset_fft_core)
+        self._coset_ifft_j = jax.jit(self._coset_ifft_core)
 
     def _stage_twiddles(self, omega: int):
         p = self.spec.p
@@ -201,15 +208,59 @@ class Radix2Domain:
             x = jnp.concatenate([a, b], axis=1).reshape((n,) + rest)
         return x
 
+    # jit cores: every table an argument, never a captured constant
+    def _dev(self):
+        if self._dev_tables is None:
+            # ensure_compile_time_eval: the first call may happen inside a
+            # trace (shard_map provers); cached tables must be CONCRETE
+            with jax.ensure_compile_time_eval():
+                self._dev_tables = dict(
+                    perm=jnp.asarray(self._perm),
+                    twf=tuple(jnp.asarray(t) for t in self._tw_fwd),
+                    twi=tuple(jnp.asarray(t) for t in self._tw_inv),
+                    ninv=jnp.asarray(self.n_inv_mont),
+                )
+        return self._dev_tables
+
+    def _coset_dev(self):
+        if self._coset_dev_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._coset_dev_tables = dict(
+                    g=jnp.asarray(self._coset_g),
+                    ginv=jnp.asarray(self._coset_g_inv),
+                )
+        return self._coset_dev_tables
+
+    def _fft_core(self, x, perm, tws):
+        return self._butterflies(jnp.take(x, perm, axis=0), tws)
+
+    def _ifft_unnorm_core(self, x, perm, tws):
+        return self._butterflies(jnp.take(x, perm, axis=0), tws)
+
+    def _ifft_core(self, x, perm, tws, ninv):
+        out = self._ifft_unnorm_core(x, perm, tws)
+        return F.mul(self.spec, out, ninv[None])
+
+    def _coset_fft_core(self, x, perm, tws, g_tbl):
+        xg = F.mul(self.spec, x, self._coset_reshape(g_tbl, x))
+        return self._fft_core(xg, perm, tws)
+
+    def _coset_ifft_core(self, x, perm, tws, ninv, ginv_tbl):
+        out = self._ifft_core(x, perm, tws, ninv)
+        return F.mul(self.spec, out, self._coset_reshape(ginv_tbl, out))
+
     def fft(self, coeffs):
         """coefficients (n, ..., L) -> evaluations (n, ..., L), natural order."""
-        x = jnp.take(coeffs, self._perm, axis=0)
-        return self._butterflies(x, self._tw_fwd)
+        d = self._dev()
+        return self._fft_j(coeffs, d["perm"], d["twf"])
 
     def ifft(self, evals):
-        x = jnp.take(evals, self._perm, axis=0)
-        x = self._butterflies(x, self._tw_inv)
-        return F.mul(self.spec, x, self.n_inv_mont[None])
+        d = self._dev()
+        return self._ifft_j(evals, d["perm"], d["twi"], d["ninv"])
+
+    def _ifft_unnormalized(self, evals):
+        d = self._dev()
+        return self._ifft_un_j(evals, d["perm"], d["twi"])
 
     # -- coset transforms (g = Fr multiplicative generator) -----------------
     @functools.cached_property
@@ -230,13 +281,14 @@ class Radix2Domain:
 
     def coset_fft(self, coeffs):
         """Evaluations over the coset g*H (ref: distribute_powers + fft)."""
-        return self.fft(
-            F.mul(self.spec, coeffs, self._coset_reshape(self._coset_g, coeffs))
-        )
+        d = self._dev()
+        return self._coset_fft_j(coeffs, d["perm"], d["twf"], self._coset_dev()["g"])
 
     def coset_ifft(self, evals):
-        out = self.ifft(evals)
-        return F.mul(self.spec, out, self._coset_reshape(self._coset_g_inv, out))
+        d = self._dev()
+        return self._coset_ifft_j(
+            evals, d["perm"], d["twi"], d["ninv"], self._coset_dev()["ginv"]
+        )
 
     def vanishing_on_coset_inv(self):
         """1 / Z_H(g x) for x in H: Z_H(g w^i) = g^n - 1, a scalar
@@ -279,10 +331,13 @@ class MixedRadixDomain:
         w3 = pow(omega, m, p)  # primitive cube root of unity
         self._w3_fwd = self._dft3_consts(w3)
         self._w3_inv = self._dft3_consts(pow(w3, 2, p))
-        self.fft = jax.jit(self.fft)
-        self.ifft = jax.jit(self.ifft)
-        self.coset_fft = jax.jit(self.coset_fft)
-        self.coset_ifft = jax.jit(self.coset_ifft)
+        # tables as runtime args (see Radix2Domain: HTTP 413 at 2^19+)
+        self._dev_tables = None
+        self._coset_dev_tables = None
+        self._fft_j = jax.jit(self._fft_core)
+        self._ifft_j = jax.jit(self._ifft_core)
+        self._coset_fft_j = jax.jit(self._coset_fft_core)
+        self._coset_ifft_j = jax.jit(self._coset_ifft_core)
 
     def _twiddles(self, omega: int):
         # tw[r] = [omega^(r*k0) for k0 < M], r = 0,1,2
@@ -324,19 +379,56 @@ class MixedRadixDomain:
         x2 = F.add(spec, b0, F.add(spec, u1, u2))
         return jnp.concatenate([x0, x1, x2], axis=0)
 
+    def _dev(self):
+        if self._dev_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._dev_tables = dict(
+                    twf=tuple(jnp.asarray(t) for t in self._tw_fwd),
+                    twi=tuple(jnp.asarray(t) for t in self._tw_inv),
+                    w3f=tuple(jnp.asarray(t) for t in self._w3_fwd),
+                    w3i=tuple(jnp.asarray(t) for t in self._w3_inv),
+                    ninv=jnp.asarray(self.n_inv_mont),
+                )
+        return self._dev_tables
+
+    def _coset_dev(self):
+        if self._coset_dev_tables is None:
+            with jax.ensure_compile_time_eval():
+                self._coset_dev_tables = dict(
+                    g=jnp.asarray(self._coset_g),
+                    ginv=jnp.asarray(self._coset_g_inv),
+                )
+        return self._coset_dev_tables
+
+    def _fft_core(self, x, tws, w3c, sub_perm, sub_twf):
+        sub_tf = lambda v: self.sub._fft_core(v, sub_perm, sub_twf)
+        return self._transform(x, tws, w3c, sub_tf)
+
+    def _ifft_core(self, x, tws, w3c, sub_perm, sub_twi, ninv):
+        # inverse: same structure with omega^{-1}, then scale by 1/N (the
+        # transform with omega_inv is the unnormalized inverse DFT)
+        sub_tf = lambda v: self.sub._ifft_unnorm_core(v, sub_perm, sub_twi)
+        out = self._transform(x, tws, w3c, sub_tf)
+        return F.mul(self.spec, out, ninv[None])
+
+    def _coset_fft_core(self, x, tws, w3c, sub_perm, sub_twf, g_tbl):
+        return self._fft_core(
+            F.mul(self.spec, x, g_tbl), tws, w3c, sub_perm, sub_twf
+        )
+
+    def _coset_ifft_core(self, x, tws, w3c, sub_perm, sub_twi, ninv, ginv_tbl):
+        out = self._ifft_core(x, tws, w3c, sub_perm, sub_twi, ninv)
+        return F.mul(self.spec, out, ginv_tbl)
+
     def fft(self, coeffs):
-        return self._transform(coeffs, self._tw_fwd, self._w3_fwd, self.sub.fft)
+        d, sd = self._dev(), self.sub._dev()
+        return self._fft_j(coeffs, d["twf"], d["w3f"], sd["perm"], sd["twf"])
 
     def ifft(self, evals):
-        # inverse: same structure with omega^{-1}, then scale by 1/N.
-        # Note the stride decimation for the inverse maps evaluations with
-        # the same index pattern (the transform with omega_inv is the
-        # unnormalized inverse DFT).
-        spec = self.spec
-        x = self._transform(
-            evals, self._tw_inv, self._w3_inv, self.sub._ifft_unnormalized
+        d, sd = self._dev(), self.sub._dev()
+        return self._ifft_j(
+            evals, d["twi"], d["w3i"], sd["perm"], sd["twi"], d["ninv"]
         )
-        return F.mul(spec, x, self.n_inv_mont[None])
 
     @functools.cached_property
     def _coset_g(self):
@@ -352,18 +444,18 @@ class MixedRadixDomain:
         )
 
     def coset_fft(self, coeffs):
-        return self.fft(F.mul(self.spec, coeffs, self._coset_g))
+        d, sd = self._dev(), self.sub._dev()
+        return self._coset_fft_j(
+            coeffs, d["twf"], d["w3f"], sd["perm"], sd["twf"],
+            self._coset_dev()["g"],
+        )
 
     def coset_ifft(self, evals):
-        return F.mul(self.spec, self.ifft(evals), self._coset_g_inv)
-
-
-def _ifft_unnormalized(self, evals):
-    x = jnp.take(evals, self._perm, axis=0)
-    return self._butterflies(x, self._tw_inv)
-
-
-Radix2Domain._ifft_unnormalized = _ifft_unnormalized
+        d, sd = self._dev(), self.sub._dev()
+        return self._coset_ifft_j(
+            evals, d["twi"], d["w3i"], sd["perm"], sd["twi"], d["ninv"],
+            self._coset_dev()["ginv"],
+        )
 
 
 @functools.lru_cache(maxsize=None)

@@ -714,39 +714,43 @@ static void fixed_base_run(const u32 *gx, const u32 *gy, const u32 *sc,
   int W = (FR_BITS + c - 1) / c;
   int64_t M = ((int64_t)1 << c) - 1;  // entries 1..2^c-1 per window
 
-  // Jacobian table: jac[w*M + d-1] = d * 2^(c w) * G
-  std::vector<Pt<E>> jac((size_t)(W * M));
-  Pt<E> B;
-  load_e(gx, 0, B.x);
-  load_e(gy, 0, B.y);
-  e_set_one(B.z);
-  B.inf = false;
-  for (int w = 0; w < W; ++w) {
-    jac[(size_t)w * M] = B;
-    for (int64_t d = 2; d <= M; ++d)
-      pt_add(jac[(size_t)w * M + d - 2], B, jac[(size_t)w * M + d - 1]);
-    for (int k = 0; k < c; ++k) {
-      Pt<E> t;
-      pt_double(B, t);
-      B = t;
+  // Jacobian table: jac[w*M + d-1] = d * 2^(c w) * G.  Window BASES come
+  // from one serial doubling chain (W*c ~ 253 doublings); entry chains +
+  // affine normalization run per-window in parallel.
+  std::vector<Pt<E>> bases(W);
+  {
+    Pt<E> B;
+    load_e(gx, 0, B.x);
+    load_e(gy, 0, B.y);
+    e_set_one(B.z);
+    B.inf = false;
+    for (int w = 0; w < W; ++w) {
+      bases[w] = B;
+      for (int k = 0; k < c; ++k) {
+        Pt<E> t;
+        pt_double(B, t);
+        B = t;
+      }
     }
   }
-
-  // batch-normalize to affine: x' = x z^-2, y' = y z^-3
-  std::vector<E> zs((size_t)(W * M));
-  for (size_t i = 0; i < zs.size(); ++i) zs[i] = jac[i].z;
-  batch_inverse(zs);
   std::vector<E> ax((size_t)(W * M)), ay((size_t)(W * M));
-#pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < (int64_t)zs.size(); ++i) {
-    E zi2, zi3;
-    f_mul(zs[i], zs[i], zi2);
-    f_mul(zi2, zs[i], zi3);
-    f_mul(jac[i].x, zi2, ax[i]);
-    f_mul(jac[i].y, zi3, ay[i]);
+#pragma omp parallel for schedule(dynamic)
+  for (int w = 0; w < W; ++w) {
+    std::vector<Pt<E>> jac((size_t)M);
+    jac[0] = bases[w];
+    for (int64_t d = 2; d <= M; ++d)
+      pt_add(jac[d - 2], bases[w], jac[d - 1]);
+    std::vector<E> zs((size_t)M);
+    for (int64_t i = 0; i < M; ++i) zs[i] = jac[i].z;
+    batch_inverse(zs);
+    for (int64_t i = 0; i < M; ++i) {
+      E zi2, zi3;
+      f_mul(zs[i], zs[i], zi2);
+      f_mul(zi2, zs[i], zi3);
+      f_mul(jac[i].x, zi2, ax[(size_t)w * M + i]);
+      f_mul(jac[i].y, zi3, ay[(size_t)w * M + i]);
+    }
   }
-  jac.clear();
-  jac.shrink_to_fit();
 
   std::vector<u64> std_sc(n * 4);
   scalars_to_std(sc, n, std_sc.data());
