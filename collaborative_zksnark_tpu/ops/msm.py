@@ -28,6 +28,7 @@ Implementations:
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +99,8 @@ FR_BITS = 253
 # group — bounds peak HBM (~288 B/slot for G1 + scan temporaries).
 # Tests shrink this to force multi-group execution.
 _CHUNK_SLOTS = 1 << 22
+# Variable-base MSM chunk cap (elements per single XLA program); see msm().
+_CHUNK = 1 << int(_os.environ.get("CZTPU_MSM_CHUNK_LOG2", "18"))
 
 
 def _scalar_bits_standard(scalars_mont):
@@ -517,6 +520,30 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
     n = points.x.shape[0]
     if n <= 16:
         return _bitserial_kernel(fld)(points, scalars_mont)
+    if n > _CHUNK:
+        # HBM cap: one 2^20 Pippenger program OOMs the 16 GB chip (plane
+        # stacks + XLA copies hit 73% fragmentation — observed at the
+        # Groth16 2^20 prove).  Split into _CHUNK-sized sub-MSMs that all
+        # share ONE compiled kernel and fold the partials; extra cost is
+        # W window-adds per chunk (~10% adds at 2^20), peak memory is one
+        # chunk's program.  Ref analog: arkworks chunks by CPU cores
+        # (ec/src/msm/variable_base.rs:36); here the chunk is sized by HBM.
+        from . import curve as cv
+
+        acc = None
+        for lo in range(0, n, _CHUNK):
+            part = msm(
+                fld,
+                JacPoint(
+                    points.x[lo : lo + _CHUNK],
+                    points.y[lo : lo + _CHUNK],
+                    points.z[lo : lo + _CHUNK],
+                ),
+                scalars_mont[lo : lo + _CHUNK],
+                c=c,
+            )
+            acc = part if acc is None else cv.point_add(fld, acc, part)
+        return acc
     if c is None:
         # v3 cost model: total adds ~ W*(N + 4*2^c) with W = 253/c
         # (blocked scan ~ W*N, bucket sums + weighted totals ~ 4*W*2^c);
