@@ -92,14 +92,30 @@ class SpdzScheme:
             ax = 0
         eta = self.ctx.pub_rand_fr(())  # public coin (post-opening)
         m = flat.shape[ax]
-        etab = jnp.broadcast_to(eta, (m,) + eta.shape).astype(jnp.uint32)
+        # eta powers [1, eta, .., eta^(m-1)] WITHOUT an associative_scan:
+        # at SNARK sizes (m ~ 2^22) the scan's log-level temporaries were
+        # multi-GB (observed RESOURCE_EXHAUSTED in the 2-party 2^20 prove);
+        # build a CH-sized table once and fold per CH-chunk with an
+        # eta^(j*CH) outer scale — bitwise the same sigma, bounded memory.
+        CH = min(m, 1 << 18)
+        etab = jnp.broadcast_to(eta, (CH,) + eta.shape).astype(jnp.uint32)
         one = jnp.broadcast_to(jnp.asarray(FR.one_mont), eta.shape).astype(jnp.uint32)
         etab = etab.at[0].set(one)
         pows = jax.lax.associative_scan(lambda a, b: F.mul(FR, a, b), etab, axis=0)
-        if stacked:
-            sigma = F.fold_sum(FR, F.mul(FR, flat, pows[None]), axis=1)
-        else:
-            sigma = F.fold_sum(FR, F.mul(FR, flat, pows), axis=0)
+        eta_ch = F.mul(FR, pows[-1], eta)       # eta^CH
+        sigma = None
+        scale = None                             # eta^(j*CH)
+        for lo in range(0, m, CH):
+            sl = (
+                flat[:, lo : lo + CH] if stacked else flat[lo : lo + CH]
+            )
+            w = sl.shape[ax]
+            part = F.fold_sum(FR, F.mul(FR, sl, pows[:w][None] if stacked
+                                        else pows[:w]), axis=ax)
+            if lo:
+                part = F.mul(FR, part, scale)
+            scale = eta_ch if lo == 0 else F.mul(FR, scale, eta_ch)
+            sigma = part if sigma is None else F.add(FR, sigma, part)
         g, commit_ok = self.net.atomic_gather(sigma)
         self.ctx.push_check("spdz_atomic_commit", commit_ok)
         total = _fold_field(g)
@@ -130,10 +146,24 @@ class SpdzScheme:
 
     def mul(self, x: SpdzShare, y: SpdzShare):
         a, b, c = self.field_source.triple(self._pub_shape(x))
+        xa, yb = self.sub(x, a), self.sub(y, b)
+        pub_shape = self._pub_shape(x)
+        if len(pub_shape) >= 1 and pub_shape[-1] > 1:
+            # batch d|e along the EXISTING element axis (one reveal round,
+            # no (..., 2, L) stack+reshape copies at SNARK sizes)
+            nel = x.sh.shape[-2]
+            de = self.reveal(SpdzShare(
+                jnp.concatenate([xa.sh, yb.sh], axis=-2),
+                jnp.concatenate([xa.mac, yb.mac], axis=-2),
+            ))
+            d = de[..., :nel, :]
+            e = de[..., nel:, :]
+            z = self.add(c, self.add(self.scale(a, e), self.scale(b, d)))
+            return self.shift(z, F.mul(FR, d, e))
         de = self.reveal(
             SpdzShare(
-                jnp.stack([self.sub(x, a).sh, self.sub(y, b).sh], axis=-2),
-                jnp.stack([self.sub(x, a).mac, self.sub(y, b).mac], axis=-2),
+                jnp.stack([xa.sh, yb.sh], axis=-2),
+                jnp.stack([xa.mac, yb.mac], axis=-2),
             )
         )
         d = de[..., 0, :]
