@@ -569,6 +569,13 @@ from . import pallas_field as PF                    # noqa: E402
 
 INTERPRET = PF.INTERPRET
 
+# The pass kernels hold several int32 matmul/carry intermediates on the
+# Mosaic stack; the default 16 MiB scoped-VMEM limit rejects them (observed:
+# 23.5 MiB at f=128, cb=128).  v5e has 128 MiB physical VMEM — raise the cap.
+_VMEM_CAP = dict(
+    compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+)
+
 
 def _chunk_lanes(f: int, M: int) -> int:
     """Lane width per grid step: ~32k elements per block, >= 128."""
@@ -610,6 +617,7 @@ def _k1_digitize(plan: FusedPlan):
         out_specs=pl.BlockSpec((DGR, f1, cb), lambda j: (0, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=INTERPRET,
+        **({} if INTERPRET else _VMEM_CAP),
     )
 
 
@@ -745,6 +753,7 @@ def _pass_call(plan: FusedPlan, i: int):
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=INTERPRET,
+        **({} if INTERPRET else _VMEM_CAP),
     )
     return call, tbl_arrays, extra_arrays
 
