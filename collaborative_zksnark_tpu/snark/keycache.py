@@ -1,0 +1,130 @@
+"""Disk cache for Groth16 proving/verifying keys.
+
+Setup is deterministic given (circuit, seed), so recomputing the 2^20
+fixed-base key generation (~5 CPU-minutes) on every bench run is pure
+waste.  Keys are stored as compact uint16 limb arrays (canonical
+Montgomery digits fit 16 bits) in one .npz; load is one np.load + one
+device transfer per array.
+
+The reference regenerates keys per bench run (mpc-snarks/src/proof.rs
+setup inside the binary, outside the `timed section`); caching keeps the
+same measured scope (prove only) while making the bench runnable inside
+a wall-clock budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve as cv
+
+DEFAULT_DIR = os.environ.get(
+    "CZTPU_KEYCACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".keycache"),
+)
+
+_PT_FIELDS = ("a_query", "b_g1_query", "b_g2_query", "h_query", "l_query",
+              "alpha_g1", "beta_g1", "beta_g2", "delta_g1", "delta_g2")
+
+
+def _pack(arr) -> np.ndarray:
+    a = np.asarray(arr)
+    if a.size and a.max() < (1 << 16):
+        return a.astype(np.uint16)
+    return a.astype(np.uint32)
+
+
+def _jsonify(v):
+    """Host points are nested tuples of ints (or None); make JSON-safe."""
+    if v is None:
+        return None
+    if isinstance(v, (tuple, list)):
+        return [_jsonify(x) for x in v]
+    return str(int(v))
+
+
+def _unjsonify(v):
+    if v is None:
+        return None
+    if isinstance(v, list):
+        return tuple(_unjsonify(x) for x in v)
+    return int(v)
+
+
+def path_for(name: str, logn: int, seed: int, cache_dir: str = None) -> str:
+    d = cache_dir or DEFAULT_DIR
+    return os.path.join(d, f"{name}_bls12_377_n{logn}_seed{seed}.npz")
+
+
+def save_groth16(path: str, pk, vk) -> None:
+    arrs = {}
+    for f in _PT_FIELDS:
+        pt = getattr(pk, f)
+        for c in ("x", "y", "z"):
+            arrs[f"{f}_{c}"] = _pack(getattr(pt, c))
+    meta = {
+        "vk": {
+            "alpha_g1": _jsonify(vk.alpha_g1),
+            "beta_g2": _jsonify(vk.beta_g2),
+            "gamma_g2": _jsonify(vk.gamma_g2),
+            "delta_g2": _jsonify(vk.delta_g2),
+            "gamma_abc_g1": _jsonify(vk.gamma_abc_g1),
+        },
+        "version": 1,
+    }
+    arrs["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, path)
+
+
+def load_groth16(path: str):
+    """Returns (ProvingKey, VerifyingKey) or None if absent/unreadable."""
+    from . import groth16 as g16
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    vkm = meta["vk"]
+    vk = g16.VerifyingKey(
+        alpha_g1=_unjsonify(vkm["alpha_g1"]),
+        beta_g2=_unjsonify(vkm["beta_g2"]),
+        gamma_g2=_unjsonify(vkm["gamma_g2"]),
+        delta_g2=_unjsonify(vkm["delta_g2"]),
+        gamma_abc_g1=list(_unjsonify(vkm["gamma_abc_g1"])),
+    )
+    pts = {}
+    for f in _PT_FIELDS:
+        coords = [
+            jnp.asarray(np.ascontiguousarray(z[f"{f}_{c}"]).astype(np.uint32))
+            for c in ("x", "y", "z")
+        ]
+        pts[f] = cv.JacPoint(*coords)
+    return g16.ProvingKey(vk=vk, **pts), vk
+
+
+def setup_cached(cs, seed: int, logn: int, cache_dir: str = None,
+                 log=lambda *a: None):
+    """setup() with a disk cache keyed by (logn, seed)."""
+    from . import groth16 as g16
+
+    path = path_for("groth16", logn, seed, cache_dir)
+    got = load_groth16(path)
+    if got is not None:
+        log(f"groth16 key cache hit: {path}")
+        return got
+    pk, vk = g16.setup(cs, seed=seed)
+    try:
+        save_groth16(path, pk, vk)
+        log(f"groth16 key cache written: {path}")
+    except Exception as e:  # cache failures must not break setup
+        log(f"key cache write failed: {e}")
+    return pk, vk
