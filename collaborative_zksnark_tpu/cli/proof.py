@@ -33,7 +33,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
-    if args.platform == "cpu" or (args.platform is None and not os.environ.get("JAX_PLATFORMS")):
+    if args.platform != "tpu":
+        # default to CPU: the ambient axon plugin exports JAX_PLATFORMS
+        # itself, so an unset --platform must not accidentally select the
+        # tunneled TPU (eager dispatch there is ~1 s/op)
         os.environ.pop("JAX_PLATFORMS", None)
         import jax
 

@@ -436,6 +436,8 @@ def _pippenger_kernel(fld, c, proj=False):
             # row width: keep the per-step add wide (VPU-efficient) while
             # K = F/R stays small enough that the scan dominates no latency
             R = 1 << max(8, min(13, Fsz.bit_length() - 5))
+            if _os.environ.get("CZTPU_MSM_R_LOG2"):  # bisect override
+                R = 1 << int(_os.environ["CZTPU_MSM_R_LOG2"])
             # plane path hard-codes FQ constants + the G1 projective-add
             # kernel — gate on the field, not just proj
             if proj and fld is FQ_OPS and F._pallas_ok():
@@ -516,8 +518,12 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
             fld is FQ2_OPS, points.x, points.y, points.z, scalars_mont
         )
         return JacPoint(ox, oy, oz)
-    points, scalars_mont = _pad_pow2(fld, points, scalars_mont)
     n = points.x.shape[0]
+    if n <= _CHUNK:
+        # pad only WITHIN a chunk: padding before chunking doubles the
+        # work for sizes just over a power of two (e.g. m = 2^20 + 2)
+        points, scalars_mont = _pad_pow2(fld, points, scalars_mont)
+        n = points.x.shape[0]
     if n <= 16:
         return _bitserial_kernel(fld)(points, scalars_mont)
     if n > _CHUNK:

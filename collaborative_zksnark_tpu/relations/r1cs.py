@@ -59,6 +59,8 @@ class R1CS:
         self.a_rows.append(list(a))
         self.b_rows.append(list(b))
         self.c_rows.append(list(c))
+        self._dev_mats = None
+        self._padded = None
 
     @property
     def num_constraints(self) -> int:
@@ -73,33 +75,74 @@ class R1CS:
         """Rows extended with the input-consistency constraints arkworks
         appends (one per instance variable: A=z_i, B=0, C=0), which make the
         instance polynomials linearly independent
-        (ref: groth16/src/r1cs_to_qap.rs:141-162 inlining semantics)."""
+        (ref: groth16/src/r1cs_to_qap.rs:141-162 inlining semantics).
+        Cached per instance (list copies alone cost ~5 s at 2^20)."""
+        cached = getattr(self, "_padded", None)
+        if cached is not None:
+            return cached
         a = [list(r) for r in self.a_rows] + [
             [(i, 1)] for i in range(self.num_instance)
         ]
         b = [list(r) for r in self.b_rows] + [[] for _ in range(self.num_instance)]
         c = [list(r) for r in self.c_rows] + [[] for _ in range(self.num_instance)]
+        self._padded = (a, b, c)
         return a, b, c
 
     def device_matrices(self, domain_size: int):
-        """Pack padded rows into device gather matrices of `domain_size` rows."""
+        """Pack padded rows into device gather matrices of `domain_size`
+        rows.  Cached per instance — rebuilding + re-shipping the matrices
+        on every prove costs seconds at 2^20."""
+        cached = getattr(self, "_dev_mats", None)
+        if cached is not None and cached[0] == domain_size:
+            return cached[1]
         a, b, c = self.padded_rows()
         assert len(a) <= domain_size
-        return [pack_rows(rows, domain_size) for rows in (a, b, c)]
+        mats = [pack_rows(rows, domain_size) for rows in (a, b, c)]
+        # only cache concrete arrays: inside a jit/shard_map trace the
+        # dictionary-decode gather yields tracers, which must not escape
+        if not any(
+            isinstance(leaf, jax.core.Tracer)
+            for mt in mats for leaf in mt
+        ):
+            self._dev_mats = (domain_size, mats)
+        return mats
 
 
 def pack_rows(rows, domain_size: int):
     """Pack sparse LC rows into (idx, coeff) device gather matrices
-    (`domain_size` rows; rows beyond len(rows) are zero)."""
+    (`domain_size` rows; rows beyond len(rows) are zero).
+
+    Coefficients are dictionary-coded when few distinct values occur
+    (typical circuits use a handful): only a (ncodes, L) Montgomery table
+    plus a uint8 code matrix cross the host->device link, and the full
+    (rows, k, L) coefficient array is materialized by one device gather.
+    At 2^20 rows this cuts the transfer from ~134 MB to ~2 MB — which
+    matters on a tunneled TPU."""
     k = max(1, max((len(r) for r in rows), default=1))
     k = 1 << (k - 1).bit_length()
     idx = np.zeros((domain_size, k), np.int32)
+    Rint = 1 << (F.LIMB_BITS * FR.L)
+    codes = np.zeros((domain_size, k), np.int32)
+    table: dict = {0: 0}
+    big = False
     coeffs = [0] * (domain_size * k)
     for r, row in enumerate(rows):
         for j, (col, cf) in enumerate(row):
             idx[r, j] = col
-            coeffs[r * k + j] = cf % C.R_MOD
-    Rint = 1 << (F.LIMB_BITS * FR.L)
+            cf = cf % C.R_MOD
+            coeffs[r * k + j] = cf
+            if not big:
+                code = table.setdefault(cf, len(table))
+                if code > 255:
+                    big = True
+                codes[r, j] = code
+    if not big:
+        vals = [0] * len(table)
+        for cf, code in table.items():
+            vals[code] = cf
+        tab_mont = F.ints_to_limbs([v * Rint % C.R_MOD for v in vals], FR.L)
+        coeff_dev = jnp.asarray(tab_mont)[jnp.asarray(codes.astype(np.uint8))]
+        return (jnp.asarray(idx), coeff_dev)
     mont = F.ints_to_limbs([v * Rint % C.R_MOD for v in coeffs], FR.L)
     return (jnp.asarray(idx), jnp.asarray(mont.reshape(domain_size, k, FR.L)))
 

@@ -20,6 +20,7 @@ TPU-native re-design of the reference's Groth16 path:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -81,10 +82,53 @@ class HostProof:
     c: tuple
 
 
+def _host_affine_g1(xl, yl, zl):
+    q = F.FQ.p
+    Rinv = pow(1 << (F.LIMB_BITS * F.FQ.L), -1, q)
+    x = F.limbs_to_int(xl) * Rinv % q
+    y = F.limbs_to_int(yl) * Rinv % q
+    z = F.limbs_to_int(zl) * Rinv % q
+    if z == 0:
+        return None
+    zi = pow(z, q - 2, q)
+    zi2 = zi * zi % q
+    return (x * zi2 % q, y * zi2 * zi % q)
+
+
+def _host_affine_g2(xl, yl, zl):
+    from ..algebra import hostfield as H
+
+    q = F.FQ.p
+    Rinv = pow(1 << (F.LIMB_BITS * F.FQ.L), -1, q)
+    cvt = lambda a: (
+        F.limbs_to_int(a[0]) * Rinv % q,
+        F.limbs_to_int(a[1]) * Rinv % q,
+    )
+    x, y, z = cvt(xl), cvt(yl), cvt(zl)
+    if z == (0, 0):
+        return None
+    zi = H.fq2_inv(z)
+    zi2 = H.fq2_mul(zi, zi)
+    return (H.fq2_mul(x, zi2), H.fq2_mul(y, H.fq2_mul(zi2, zi)))
+
+
 def reveal_proof(proof: Proof) -> HostProof:
-    a = cv.g1_to_host(cv.JacPoint(proof.a.x[None], proof.a.y[None], proof.a.z[None]))[0]
-    b = cv.g2_to_host(cv.JacPoint(proof.b.x[None], proof.b.y[None], proof.b.z[None]))[0]
-    c = cv.g1_to_host(cv.JacPoint(proof.c.x[None], proof.c.y[None], proof.c.z[None]))[0]
+    """Device proof -> host affine points with ONE device readback (the
+    coordinate-wise path costs 9 tunnel round-trips on a remote TPU)."""
+    flat = jnp.concatenate([
+        proof.a.x.reshape(-1), proof.a.y.reshape(-1), proof.a.z.reshape(-1),
+        proof.b.x.reshape(-1), proof.b.y.reshape(-1), proof.b.z.reshape(-1),
+        proof.c.x.reshape(-1), proof.c.y.reshape(-1), proof.c.z.reshape(-1),
+    ])
+    host = np.asarray(flat)
+    L = F.FQ.L
+    a = _host_affine_g1(host[0:L], host[L:2 * L], host[2 * L:3 * L])
+    o = 3 * L
+    g2c = lambda lo: (host[lo:lo + L], host[lo + L:lo + 2 * L])
+    b = _host_affine_g2(g2c(o), g2c(o + 2 * L), g2c(o + 4 * L))
+    o += 6 * L
+    c = _host_affine_g1(host[o:o + L], host[o + L:o + 2 * L],
+                        host[o + 2 * L:o + 3 * L])
     return HostProof(a, b, c)
 
 
@@ -204,6 +248,162 @@ def setup(cs: R1CS, seed: int = 0):
 
 
 # ---------------------------------------------------------------------------
+# On-device setup: regenerate the key queries ON the TPU.
+#
+# Rationale (measured on the axon-tunneled v5e): shipping a precomputed
+# 2^20 proving key costs ~350 s (2.1 GB over a ~6 MB/s link) and the
+# host-native fixed-base generation costs ~120 s of CPU; the device
+# fixed-base kernel regenerates the same keys in seconds once its compile
+# is cached, and the only transfers are the (dictionary-coded) circuit
+# matrices and a handful of scalars.  Ref analog: ark-groth16 generator.rs
+# (same math; the evaluation-at-tau work moves onto the chip).
+# ---------------------------------------------------------------------------
+
+def _transposed_rows(rows, m: int):
+    """Column-encoded copy of sparse LC rows: out[col] = [(row, cf), ...].
+    Turns the Lagrange-coefficient scatter u[col] += cf * lag[r] into a
+    gather matvec u = A^T lag that reuses `sparse_matvec`."""
+    out = [[] for _ in range(m)]
+    for r, row in enumerate(rows):
+        for col, cf in row:
+            out[col].append((r, cf))
+    return out
+
+
+def _sq_pows(spec, x: int, logn: int) -> np.ndarray:
+    """Host Montgomery limb array of [x^(2^0), x^(2^1), ..., x^(2^(logn-1))]."""
+    Rint = 1 << (F.LIMB_BITS * spec.L)
+    return F.ints_to_limbs(
+        [pow(x, 1 << k, spec.p) * Rint % spec.p for k in range(logn)], spec.L
+    )
+
+
+def _pows_device(spec, sq_pows, n: int):
+    """[1, x, x^2, ..., x^{n-1}] as a device Montgomery array (n, L):
+    log2(n) doubling steps arr <- [arr, arr * x^(2^k)], with sq_pows the
+    (logn, L) array of x^(2^k) (may be traced — seed-dependent values are
+    passed as arguments so one compiled setup serves every seed).
+    Trace-safe (no data-dependent shapes)."""
+    logn = n.bit_length() - 1
+    assert (1 << logn) == n
+    arr = jnp.asarray(np.asarray(spec.one_mont, np.uint32))[None]
+    for k in range(logn):
+        arr = jnp.concatenate([arr, F.mul(spec, arr, sq_pows[k][None])], axis=0)
+    return arr
+
+
+@functools.lru_cache(maxsize=None)
+def _setup_scalar_core(n: int, ninst: int, logn: int):
+    """Jitted QAP-evaluation-at-tau core, cached per (domain size, ninst).
+    All seed-dependent values arrive as arguments, so the compiled
+    executable (and the on-disk XLA cache entry) is reused across seeds."""
+
+    def core(at, bt, ct, consts, omega_sq, tau_sq):
+        tau_c, zn_c, beta_c, alpha_c, dinv_c, ginv_c, ztd_c = (
+            consts[i][None] for i in range(7)
+        )
+        # L_r(tau) = (Z(tau)/n) * w^r / (tau - w^r) for the radix-2 domain
+        w_pows = _pows_device(FR, omega_sq, n)
+        dens = F.sub(FR, tau_c, w_pows)
+        invs = F.batch_inv(FR, dens)
+        lag = F.mul(FR, F.mul(FR, zn_c, w_pows), invs)
+        u = sparse_matvec(at, lag)
+        v = sparse_matvec(bt, lag)
+        w = sparse_matvec(ct, lag)
+        buavw = F.add(FR, F.add(FR, F.mul(FR, beta_c, u),
+                                F.mul(FR, alpha_c, v)), w)
+        l_scalars = F.mul(FR, dinv_c, buavw[ninst:])
+        gabc = F.mul(FR, ginv_c, buavw[:ninst])
+        h_scalars = F.mul(FR, ztd_c, _pows_device(FR, tau_sq, n)[: n - 1])
+        return u, v, l_scalars, h_scalars, gabc
+
+    return jax.jit(core)
+
+
+def setup_device(cs: R1CS, seed: int = 0):
+    """setup() with the QAP evaluation + key queries computed on-device:
+    same group elements as setup() for the same (cs, seed) (Jacobian
+    representatives differ; affine values agree)."""
+    from ..relations.r1cs import pack_rows
+
+    rng = np.random.default_rng(seed)
+
+    def rand_fr():
+        return int.from_bytes(rng.bytes(40), "little") % P
+
+    alpha, beta, gamma, delta, tau = (rand_fr() for _ in range(5))
+    ginv = pow(gamma, P - 2, P)
+    dinv = pow(delta, P - 2, P)
+
+    a_rows, b_rows, c_rows = cs.padded_rows()
+    domain = ntt.get_radix2_domain(len(a_rows))
+    n = domain.n
+    m = cs.num_variables
+    ninst = cs.num_instance
+
+    mats_t = [
+        pack_rows(_transposed_rows(rows, m), m)
+        for rows in (a_rows, b_rows, c_rows)
+    ]
+
+    zt = (pow(tau, n, P) - 1) % P
+    ninv = pow(n, P - 2, P)
+    zn = zt * ninv % P
+    logn = n.bit_length() - 1
+
+    # seed-dependent scalars as ARGUMENTS (one compiled setup per size)
+    consts = FR.to_device([tau, zn, beta, alpha, dinv, ginv, zt * dinv % P])
+    omega_sq = jnp.asarray(_sq_pows(FR, domain.omega, logn))  # size-only
+    tau_sq = jnp.asarray(_sq_pows(FR, tau, logn))
+
+    u, v, l_scalars, h_scalars, gabc = _setup_scalar_core(n, ninst, logn)(
+        *mats_t, consts, omega_sq, tau_sq
+    )
+
+    fb_g1 = lambda sc: msm_mod.fixed_base_msm(cv.FQ_OPS, H.G1, H.G1_GEN, sc, c=8)
+    fb_g2 = lambda sc: msm_mod.fixed_base_msm(cv.FQ2_OPS, H.G2, H.G2_GEN, sc, c=8)
+
+    a_query = fb_g1(u)
+    b_g1_query = fb_g1(v)
+    b_g2_query = fb_g2(v)
+    h_query = fb_g1(h_scalars)
+    l_query = fb_g1(l_scalars) if m > ninst else cv.g1_from_host([])
+
+    gamma_abc = [int(x) for x in FR.to_host(gabc)]
+    vk = VerifyingKey(
+        alpha_g1=H.G1.scalar_mul(H.G1_GEN, alpha),
+        beta_g2=H.G2.scalar_mul(H.G2_GEN, beta),
+        gamma_g2=H.G2.scalar_mul(H.G2_GEN, gamma),
+        delta_g2=H.G2.scalar_mul(H.G2_GEN, delta),
+        gamma_abc_g1=[H.G1.scalar_mul(H.G1_GEN, s) for s in gamma_abc],
+    )
+    singles_g1 = msm_mod.fixed_base_msm_ints(
+        cv.FQ_OPS, H.G1, H.G1_GEN, [alpha, beta, delta]
+    )
+    singles_g2 = msm_mod.fixed_base_msm_ints(
+        cv.FQ2_OPS, H.G2, H.G2_GEN, [beta, delta, gamma]
+    )
+
+    def pick(pts, i):
+        return cv.JacPoint(pts.x[i], pts.y[i], pts.z[i])
+
+    pk = ProvingKey(
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+        alpha_g1=pick(singles_g1, 0),
+        beta_g1=pick(singles_g1, 1),
+        beta_g2=pick(singles_g2, 0),
+        delta_g1=pick(singles_g1, 2),
+        delta_g2=pick(singles_g2, 1),
+        vk=vk,
+    )
+    return pk, vk
+
+
+# ---------------------------------------------------------------------------
 # Prover
 # ---------------------------------------------------------------------------
 
@@ -221,6 +421,25 @@ class LocalHooks:
 LOCAL_HOOKS = LocalHooks()
 
 
+def _witness_map_body(domain, mats, z, mul_vec):
+    """Trace-inline QAP witness map body, shared by witness_map (eager)
+    and the fused prover kernel (inside one jit)."""
+    a_ev = sparse_matvec(mats[0], z)
+    b_ev = sparse_matvec(mats[1], z)
+    c_ev = sparse_matvec(mats[2], z)
+
+    a_cos = domain.coset_fft(domain.ifft(a_ev))
+    b_cos = domain.coset_fft(domain.ifft(b_ev))
+    c_cos = domain.coset_fft(domain.ifft(c_ev))
+
+    ab = mul_vec(a_cos, b_cos)                # [NETWORK in MPC: 1 Beaver round]
+    num = F.sub(FR, ab, c_cos)
+    zinv = domain.vanishing_on_coset_inv()
+    h_cos = F.mul(FR, num, zinv[None])
+    h = domain.coset_ifft(h_cos)
+    return h[: domain.n - 1]
+
+
 def witness_map(cs: R1CS, z, hooks=LOCAL_HOOKS):
     """R1CS assignment -> h(X) coefficients (the QAP witness map).
     Mirrors ref groth/r1cs_to_qap.rs:46-113: matvec, iFFT, coset FFT,
@@ -228,23 +447,7 @@ def witness_map(cs: R1CS, z, hooks=LOCAL_HOOKS):
     a_rows, _, _ = cs.padded_rows()
     domain = ntt.get_radix2_domain(len(a_rows))
     mats = cs.device_matrices(domain.n)
-    a_ev = sparse_matvec(mats[0], z)
-    b_ev = sparse_matvec(mats[1], z)
-    c_ev = sparse_matvec(mats[2], z)
-
-    a_poly = domain.ifft(a_ev)
-    b_poly = domain.ifft(b_ev)
-    c_poly = domain.ifft(c_ev)
-    a_cos = domain.coset_fft(a_poly)
-    b_cos = domain.coset_fft(b_poly)
-    c_cos = domain.coset_fft(c_poly)
-
-    ab = hooks.mul_vec(a_cos, b_cos)          # [NETWORK in MPC: 1 Beaver round]
-    num = F.sub(FR, ab, c_cos)
-    zinv = domain.vanishing_on_coset_inv()
-    h_cos = F.mul(FR, num, zinv[None])
-    h = domain.coset_ifft(h_cos)
-    return h[: domain.n - 1]
+    return _witness_map_body(domain, mats, z, hooks.mul_vec)
 
 
 import functools
@@ -277,10 +480,151 @@ def _scalar_mul_point(fld, Ppt: cv.JacPoint, k_mont):
     return _scalar_mul_kernel(fld)(Ppt, k_mont)
 
 
+# ---------------------------------------------------------------------------
+# Fused single-dispatch prover (the TPU hot path)
+#
+# On a tunneled TPU every eager op / per-chunk jit call costs ~1 s of
+# round-trip latency; the unfused prove pays ~40 such dispatches (~half
+# its 2^20 wall).  Here the ENTIRE prove — witness map, all five MSMs,
+# blinding assembly — is one jitted program: the four same-shape G1 MSMs
+# ride ONE lax.scan over a stacked chunk grid, so the Pippenger body
+# compiles once, and the tiny (< _TAIL_MAX) remainders of sizes like
+# m = 2^20 + 3 run bit-serially instead of wasting a full padded chunk.
+# ---------------------------------------------------------------------------
+
+_TAIL_MAX = 64
+
+
+def _pad_points(pts: cv.JacPoint, k: int) -> cv.JacPoint:
+    padc = lambda a: jnp.concatenate(
+        [a, jnp.zeros((k,) + a.shape[1:], a.dtype)], axis=0
+    )
+    return cv.JacPoint(padc(pts.x), padc(pts.y), padc(pts.z))
+
+
+def _msm_grid(fld, queries, chunk: int):
+    """All MSMs in `queries` (list of (JacPoint, scalars_mont)) as ONE
+    lax.scan over a stacked chunk grid (+ inline bit-serial for tiny
+    remainders).  Trace-inline; returns one single-point JacPoint per
+    query.  The scan body is traced once no matter how many chunks run."""
+    c_win = max(4, min(13, chunk.bit_length() - 1 - 5))
+    grids_p, grids_s, bounds, tails = [], [], [], {}
+    for qi, (pts, sc) in enumerate(queries):
+        nq = sc.shape[0]
+        nfull, r = divmod(nq, chunk)
+        if r > _TAIL_MAX:  # pad the last partial chunk up to a full one
+            pad = (nfull + 1) * chunk - nq
+            pts = _pad_points(pts, pad)
+            sc = jnp.concatenate(
+                [sc, jnp.zeros((pad,) + sc.shape[1:], sc.dtype)], axis=0
+            )
+            nfull, r = nfull + 1, 0
+        nb = nfull * chunk
+        resh = lambda a: a[:nb].reshape((nfull, chunk) + a.shape[1:])
+        if nfull:
+            grids_p.append(cv.JacPoint(resh(pts.x), resh(pts.y), resh(pts.z)))
+            grids_s.append(resh(sc))
+        bounds.append(nfull)
+        if r:
+            tails[qi] = (
+                cv.JacPoint(pts.x[nb:], pts.y[nb:], pts.z[nb:]),
+                sc[nb:],
+            )
+    outs = [None] * len(queries)
+    if grids_p:
+        gx = jnp.concatenate([g.x for g in grids_p])
+        gy = jnp.concatenate([g.y for g in grids_p])
+        gz = jnp.concatenate([g.z for g in grids_p])
+        gs = jnp.concatenate(grids_s)
+
+        def body(carry, xs):
+            px, py, pz, s = xs
+            res = msm_mod.msm_pippenger(
+                fld, cv.JacPoint(px, py, pz), s, c=c_win
+            )
+            return carry, (res.x, res.y, res.z)
+
+        _, (rx, ry, rz) = jax.lax.scan(body, 0, (gx, gy, gz, gs))
+        lo = 0
+        for qi, nfull in enumerate(bounds):
+            acc = None
+            for t in range(lo, lo + nfull):
+                pt = cv.JacPoint(rx[t], ry[t], rz[t])
+                acc = pt if acc is None else cv.point_add(fld, acc, pt)
+            outs[qi] = acc
+            lo += nfull
+    for qi, (pts_t, sc_t) in tails.items():
+        tr = msm_mod.msm_bitserial(fld, pts_t, sc_t)
+        outs[qi] = tr if outs[qi] is None else cv.point_add(fld, outs[qi], tr)
+    return outs
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_prove_kernel(n: int, m: int, ninst: int, kshape: tuple,
+                        chunk: int):
+    domain = ntt.get_radix2_domain(n)
+    G1, G2 = cv.FQ_OPS, cv.FQ2_OPS
+
+    def f(mats, aq, b1q, b2q, hq, lq, singles, z, r_m, s_m):
+        alpha_g1, beta_g1, beta_g2, delta_g1, delta_g2 = singles
+        h = _witness_map_body(domain, mats, z, lambda x, y: F.mul(FR, x, y))
+        wit = z[ninst:]
+        a_acc, b1_acc, h_acc, l_acc = _msm_grid(
+            G1, [(aq, z), (b1q, z), (hq, h), (lq, wit)], chunk
+        )
+        (b2_acc,) = _msm_grid(G2, [(b2q, z)], chunk)
+
+        r_delta_g1 = _scalar_mul_inline(G1, delta_g1, r_m)
+        s_delta_g1 = _scalar_mul_inline(G1, delta_g1, s_m)
+        s_delta_g2 = _scalar_mul_inline(G2, delta_g2, s_m)
+        g_a = cv.point_add(G1, cv.point_add(G1, alpha_g1, a_acc), r_delta_g1)
+        g1_b = cv.point_add(G1, cv.point_add(G1, beta_g1, b1_acc), s_delta_g1)
+        g2_b = cv.point_add(G2, cv.point_add(G2, beta_g2, b2_acc), s_delta_g2)
+        s_ga = _scalar_mul_inline(G1, g_a, s_m)
+        r_gb = _scalar_mul_inline(G1, g1_b, r_m)
+        rs = F.mul(FR, r_m[None], s_m[None])[0]
+        rs_delta = _scalar_mul_inline(G1, delta_g1, rs)
+        g_c = cv.point_add(G1, s_ga, r_gb)
+        g_c = cv.point_add(G1, g_c, cv.point_neg(G1, rs_delta))
+        g_c = cv.point_add(G1, g_c, l_acc)
+        g_c = cv.point_add(G1, g_c, h_acc)
+        return g_a, g2_b, g_c
+
+    return jax.jit(f)
+
+
+def _prove_fused(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont) -> Proof:
+    a_rows, _, _ = cs.padded_rows()
+    domain = ntt.get_radix2_domain(len(a_rows))
+    mats = cs.device_matrices(domain.n)
+    kshape = tuple(int(mt[0].shape[1]) for mt in mats)
+    kern = _fused_prove_kernel(
+        domain.n, cs.num_variables, cs.num_instance, kshape, msm_mod._CHUNK
+    )
+    g_a, g2_b, g_c = kern(
+        tuple(mats), pk.a_query, pk.b_g1_query, pk.b_g2_query, pk.h_query,
+        pk.l_query,
+        (pk.alpha_g1, pk.beta_g1, pk.beta_g2, pk.delta_g1, pk.delta_g2),
+        z, r_mont, s_mont,
+    )
+    return Proof(a=g_a, b=g2_b, c=g_c)
+
+
+def _use_fused() -> bool:
+    import os as _os
+
+    flag = _os.environ.get("CZTPU_FUSED")
+    if flag is not None:
+        return flag != "0"
+    return jax.default_backend() != "cpu"
+
+
 def prove(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont, hooks=LOCAL_HOOKS) -> Proof:
     """z: full assignment (m, L) device Fr (values or shares); r_mont/s_mont:
     blinding scalars (L,) (shared randomness in MPC — no zero-check, ref
     groth/prover.rs:116 removal)."""
+    if hooks is LOCAL_HOOKS and _use_fused():
+        return _prove_fused(pk, cs, z, r_mont, s_mont)
     h = witness_map(cs, z, hooks)
 
     ninst = cs.num_instance
