@@ -22,12 +22,21 @@ FR_SMALL_SUBGROUP_ADICITY = 1
 
 assert (R_MOD - 1) % (2**FR_TWO_ADICITY * 3) == 0
 
-#: generator of the order-2^47 subgroup
+#: generator of the order-2^47 subgroup, g^((r-1)/2^47).  This matches
+#: what arkworks ACTUALLY uses for BLS12-377 Fr domains: for fields with
+#: a small subgroup, ark_ff::get_root_of_unity (ref
+#: algebra/ff/src/fields/mod.rs:337-367) derives every domain generator
+#: from LARGE_SUBGROUP_ROOT_OF_UNITY (= g^((r-1)/(3*2^47)), fr.rs:23-28)
+#: cubed and squared down — the fr.rs:14-18 TWO_ADIC_ROOT_OF_UNITY
+#: literal is NOT used for this field.  So domain element order (and
+#: every FFT output) is identical to the reference's.
 FR_TWO_ADIC_ROOT = pow(FR_GENERATOR, (R_MOD - 1) >> FR_TWO_ADICITY, R_MOD)
-#: generator of the order-(3 * 2^47) subgroup ("LARGE_SUBGROUP_ROOT_OF_UNITY")
+#: generator of the order-(3 * 2^47) subgroup ("LARGE_SUBGROUP_ROOT_OF_UNITY",
+#: ref fr.rs:23-28 — equals FR_GENERATOR^((r-1)/(3*2^47)))
 FR_LARGE_SUBGROUP_ROOT = pow(
     FR_GENERATOR, (R_MOD - 1) // (2**FR_TWO_ADICITY * 3), R_MOD
 )
+assert FR_TWO_ADIC_ROOT == pow(FR_LARGE_SUBGROUP_ROOT, 3, R_MOD)
 
 # --- Base field Fq ---------------------------------------------------------
 # q, 377 bits.  ref: curves/bls12_377/src/fields/fq.rs:24

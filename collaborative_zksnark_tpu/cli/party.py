@@ -197,7 +197,17 @@ def _run_snark(args, n_parties):
     from ..utils.timers import timed
 
     P = C.R_MOD
-    net = ProcNet(n_parties, args.party)
+    # the king star channel listens next to the coordinator: same host,
+    # port + 1000 (overridable with a "star": "host:port" hosts entry)
+    with open(args.hosts) as f:
+        hosts = json.load(f)
+    star = hosts.get("star")
+    if star:
+        s_host, s_port = star.rsplit(":", 1)
+    else:
+        s_host, s_port = hosts["coordinator"].rsplit(":", 1)
+        s_port = int(s_port) + 1000
+    net = ProcNet(n_parties, args.party, star_addr=(s_host, int(s_port)))
     ctx = MpcContext(net, seed=args.seed + 1, party_id=args.party)
     scheme = wire.make_scheme(args.alg, ctx)
     rng = np.random.default_rng(args.seed)

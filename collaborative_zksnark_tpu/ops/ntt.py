@@ -76,18 +76,20 @@ class Radix2Domain:
     coefficients -> evaluations at [omega^0 .. omega^(N-1)] in natural order.
     """
 
-    def __init__(self, spec: FieldSpec, n: int):
+    def __init__(self, spec: FieldSpec, n: int, omega: int = None):
         assert n & (n - 1) == 0 and n >= 1
         self.spec = spec
         self.n = n
         k = n.bit_length() - 1
         self.log_n = k
         p = spec.p
-        if spec is F.FR:
-            assert k <= C.FR_TWO_ADICITY
-            omega = pow(C.FR_TWO_ADIC_ROOT, 1 << (C.FR_TWO_ADICITY - k), p)
-        else:
-            raise NotImplementedError("only Fr domains are used by the SNARKs")
+        if omega is None:
+            if spec is F.FR:
+                assert k <= C.FR_TWO_ADICITY
+                omega = pow(C.FR_TWO_ADIC_ROOT, 1 << (C.FR_TWO_ADICITY - k), p)
+            else:
+                raise NotImplementedError("only Fr domains are used by the SNARKs")
+        assert pow(omega, n, p) == 1 and (n == 1 or pow(omega, n // 2, p) != 1)
         self.omega = omega
         self.omega_inv = pow(omega, p - 2, p)
         self.n_inv_mont = np.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
@@ -369,9 +371,12 @@ class MixedRadixDomain:
         self.omega = omega
         self.omega_inv = pow(omega, p - 2, p)
         self.n_inv_mont = np.asarray(_to_mont_limbs(spec, [pow(n, p - 2, p)])[0])
-        self.sub = Radix2Domain(spec, m)
-        # the sub-domain generator must equal omega^3
-        assert self.sub.omega == pow(omega, 3, p)
+        # the sub-domain generator must equal omega^3; with the arkworks
+        # radix-2 root adopted for standalone domains (fr.rs:14-18) that is
+        # a DIFFERENT order-m root, so build the sub-domain with omega^3
+        # explicitly (matching ark-poly's MixedRadixEvaluationDomain
+        # internal consistency rather than its standalone radix-2 root)
+        self.sub = Radix2Domain(spec, m, omega=pow(omega, 3, p))
         self._tw_fwd = self._twiddles(omega)
         self._tw_inv = self._twiddles(self.omega_inv)
         w3 = pow(omega, m, p)  # primitive cube root of unity

@@ -190,30 +190,113 @@ class StackedNet:
         return jnp.where(mask, value, other)
 
 
+class _StarChannel:
+    """Point-to-point TCP star between the king (party 0) and every other
+    party — the deployment analog of the reference's per-peer TCP streams
+    (ref mpc-net/src/multi.rs:175-242 send_to_king/recv_from_king): in a
+    star gather the king is the ONLY party that sees the others' payloads.
+
+    Framing: 8-byte big-endian length prefix + raw payload bytes.  The
+    king listens; peers connect (with retries) and identify themselves
+    with a one-byte party id.
+    """
+
+    def __init__(self, n: int, party_id: int, host: str, port: int):
+        import socket
+        import time as _time
+
+        self.n = n
+        self.id = party_id
+        if party_id == 0:
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind(("", port))
+            srv.listen(n)
+            self.conns = [None] * n
+            for _ in range(n - 1):
+                c, _addr = srv.accept()
+                c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                pid = c.recv(1)[0]
+                self.conns[pid] = c
+            srv.close()
+        else:
+            for attempt in range(600):
+                try:
+                    c = socket.create_connection((host, port), timeout=5)
+                    break
+                except OSError:
+                    _time.sleep(0.1)
+            else:
+                raise RuntimeError(f"star connect to {host}:{port} failed")
+            c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            c.sendall(bytes([party_id]))
+            self.king = c
+
+    @staticmethod
+    def _send(sock, data: bytes):
+        sock.sendall(len(data).to_bytes(8, "big") + data)
+
+    @staticmethod
+    def _recv(sock) -> bytes:
+        hdr = b""
+        while len(hdr) < 8:
+            got = sock.recv(8 - len(hdr))
+            assert got, "star peer closed"
+            hdr += got
+        n = int.from_bytes(hdr, "big")
+        chunks = []
+        while n:
+            got = sock.recv(min(n, 1 << 20))
+            assert got, "star peer closed"
+            chunks.append(got)
+            n -= len(got)
+        return b"".join(chunks)
+
+    def gather(self, payload: bytes):
+        """King returns [payload_0, ..., payload_{n-1}]; others None."""
+        if self.id == 0:
+            out = [payload]
+            out.extend(self._recv(self.conns[i]) for i in range(1, self.n))
+            return out
+        self._send(self.king, payload)
+        return None
+
+    def scatter(self, payloads):
+        """King sends payloads[i] to party i, returns payloads[0]; others
+        receive and return their payload."""
+        if self.id == 0:
+            for i in range(1, self.n):
+                self._send(self.conns[i], payloads[i])
+            return payloads[0]
+        return self._recv(self.king)
+
+
 class ProcNet:
     """Real multi-process party net: one OS process per party over a
-    jax.distributed cluster, EAGER cross-process collectives via
-    jax.experimental.multihost_utils.
+    jax.distributed cluster.  Broadcast-pattern collectives (all_gather /
+    atomic commit-open) run via jax.experimental.multihost_utils; king
+    STAR ops run over true point-to-point TCP streams (`_StarChannel`),
+    so a non-king party never receives the degree-2t shares the king
+    collects — matching the privacy shape of the reference's TCP star
+    (ref mpc-net/src/multi.rs:175-242).  Between a star gather and the
+    following scatter, non-king parties execute the king's arithmetic on
+    zeros (keeping their local RNG streams in lockstep) and the scatter
+    overwrites their result with the king's dealt rows.
 
     Shares are the local per-party slices (no party axis), like MeshNet —
-    but collectives run eagerly, so the FULL eager prover stack
+    collectives run eagerly, so the FULL eager prover stack
     (Groth16/Plonk/Marlin with host-side Fiat-Shamir between rounds) runs
     unchanged across processes.  This is the deployment analog of the
     reference's blocking-TCP mesh driven by the `proof`/`client` binaries
-    (ref mpc-net/src/multi.rs; mpc-snarks/test.zsh runs the SNARK matrix as
-    2 OS processes).
-
-    Privacy stance: king star ops are implemented over all-gathers, so
-    non-king parties technically receive the gathered rows they would not
-    see over a TCP star.  This matches the reference's benchmarking stance
-    (its dummy Beaver sources and cheat flag already make runs insecure,
-    ref Readme.md:5, channel.rs:86); byte accounting still counts STAR
-    traffic so the stats mirror a faithful deployment.
+    (ref mpc-net/src/multi.rs; mpc-snarks/test.zsh runs the SNARK matrix
+    as 2 OS processes).
     """
 
-    def __init__(self, n_parties: int, party_id: int):
+    def __init__(self, n_parties: int, party_id: int, star_addr=None):
         self.n = n_parties
         self.id = party_id
+        self._star_addr = star_addr      # (host, port) or None
+        self._star = None
         self.stats = Stats()
         # Link shaping (the mahimahi analog, ref mpc-snarks/scripts/
         # bandwidth_bench.zsh): CZTPU_LINK_MBPS throttles this party's
@@ -313,26 +396,53 @@ class ProcNet:
         recheck = arith_hash.tree_hash(reflat, salts)
         return opened_all[1 - self.id], jnp.all(recheck == digests)
 
+    def _star_chan(self):
+        if self._star is None:
+            if self._star_addr is None:
+                raise RuntimeError(
+                    "ProcNet star ops need a star_addr (host, port); "
+                    "cli.party derives one from the hosts file"
+                )
+            self._star = _StarChannel(self.n, self.id, *self._star_addr)
+        return self._star
+
     def gather_to_king(self, sh):
-        """Star gather; over processes this rides an all-gather (see class
-        docstring), but byte accounting is the star's."""
+        """True point-to-point star gather: the king receives every
+        party's rows; non-king parties send theirs and get ZEROS back
+        (their subsequent king-side arithmetic is discarded by the next
+        scatter_from_king).  Ref mpc-net/src/multi.rs:206-226."""
         self.stats.to_king += 1
         b = _nbytes(sh)
-        self.stats.bytes_sent += b
-        self.stats.bytes_recv += b * (self.n - 1)
+        self.stats.bytes_sent += b if self.id != 0 else 0
+        self.stats.bytes_recv += b * (self.n - 1) if self.id == 0 else 0
         self._shape(b * (self.n - 1) if self.id == 0 else b)
-        return self._mhu().process_allgather(sh, tiled=False)
+        arr = np.asarray(sh)
+        rows = self._star_chan().gather(arr.tobytes())
+        if self.id != 0:
+            return jnp.zeros((self.n,) + arr.shape, arr.dtype)
+        stacked = np.stack(
+            [np.frombuffer(r, arr.dtype).reshape(arr.shape) for r in rows]
+        )
+        return jnp.asarray(stacked)
 
     def scatter_from_king(self, full):
-        """Star scatter: the king's (P, ...) rows, one per party; non-king
-        contributions are discarded (king's array wins the broadcast)."""
+        """True star scatter: the king sends row i of its (P, ...) array
+        to party i only; non-king input is ignored.
+        Ref mpc-net/src/multi.rs:228-242."""
         self.stats.from_king += 1
         b = _nbytes(full) // self.n
-        self.stats.bytes_sent += b * (self.n - 1)
-        self.stats.bytes_recv += b
+        self.stats.bytes_sent += b * (self.n - 1) if self.id == 0 else 0
+        self.stats.bytes_recv += b if self.id != 0 else 0
         self._shape(b * (self.n - 1) if self.id == 0 else b)
-        kings = self._mhu().broadcast_one_to_all(np.asarray(full))
-        return jnp.asarray(kings)[self.id]
+        arr = np.asarray(full)
+        row = arr[self.id]
+        if self.id == 0:
+            self._star_chan().scatter(
+                [arr[i].tobytes() for i in range(self.n)]
+            )
+            return jnp.asarray(row)
+        got = self._star_chan().scatter(None)
+        return jnp.asarray(np.frombuffer(got, arr.dtype).reshape(row.shape))
 
     def stack_public(self, pub):
         return pub  # replicated by construction

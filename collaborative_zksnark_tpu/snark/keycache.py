@@ -56,9 +56,15 @@ def _unjsonify(v):
     return int(v)
 
 
+# bump when key-affecting conventions change (domain roots, QAP layout, …)
+_CACHE_VERSION = 2
+
+
 def path_for(name: str, logn: int, seed: int, cache_dir: str = None) -> str:
     d = cache_dir or DEFAULT_DIR
-    return os.path.join(d, f"{name}_bls12_377_n{logn}_seed{seed}.npz")
+    return os.path.join(
+        d, f"{name}_bls12_377_v{_CACHE_VERSION}_n{logn}_seed{seed}.npz"
+    )
 
 
 def save_groth16(path: str, pk, vk) -> None:

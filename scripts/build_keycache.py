@@ -9,8 +9,16 @@ import os
 import sys
 import time
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("JAX_PLATFORMS", None)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the ambient axon plugin overrides the env var — force CPU via config
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
 
 logn = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 3
