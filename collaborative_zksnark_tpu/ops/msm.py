@@ -555,8 +555,19 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
         # (blocked scan ~ W*N, bucket sums + weighted totals ~ 4*W*2^c);
         # 2^c ~ N/16 balances the bucket side at a few % of the scan.
         logn = n.bit_length() - 1
-        c = max(4, min(13, logn - 5))
+        c = max(4, min(_c_cap(fld), logn - 5))
     return msm_pippenger(fld, points, scalars_mont, c=c)
+
+
+def _c_cap(fld) -> int:
+    """Max Pippenger window per field.  The Jacobian (G2) path is capped
+    at c=11: at c=13 with the window-grouping split active, the TPU
+    executable returns a WRONG result (known-answer tests at 2^18/2^20,
+    scripts/tpu_g2_matrix.py) while the identical trace is correct on the
+    CPU backend and correct on TPU with c<=11 or a single group — an
+    XLA:TPU miscompile we exclude by window choice (cost: ~15% more adds
+    on G2, which is a small slice of a prove)."""
+    return 13 if fld is FQ_OPS else 11
 
 
 # ---------------------------------------------------------------------------
