@@ -91,6 +91,39 @@ def save_groth16(path: str, pk, vk) -> None:
     os.replace(tmp, path)
 
 
+def _ship_limbs(a: np.ndarray):
+    """Transfer a limb array in its narrow on-disk dtype and widen to u32
+    ON DEVICE — over the slow tunnel the wire bytes dominate, so shipping
+    uint16 halves the key-load wall vs the old host-side astype(u32)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.ascontiguousarray(a)).astype(jnp.uint32)
+
+
+def _ship_z(zarr: np.ndarray):
+    """Projective z coords of cached queries take only the values
+    {Montgomery-one, zero} (fixed-base setup yields affine points; the
+    zero rows are points at infinity for vanishing query slots).  Ship a
+    tiny index list instead of the full limb array and rebuild on device."""
+    import jax.numpy as jnp
+
+    flat = zarr.reshape(zarr.shape[0], -1)
+    iszero = ~flat.any(axis=1)
+    nz = np.flatnonzero(~iszero)
+    if nz.size == 0:  # all-infinity (degenerate) — ship as-is
+        return _ship_limbs(zarr)
+    onerow = zarr[nz[0]]
+    if not ((flat[~iszero] == flat[nz[0]]).all()):
+        return _ship_limbs(zarr)  # unexpected shape of z — fall back
+    z_dev = jnp.broadcast_to(
+        _ship_limbs(onerow)[None], (zarr.shape[0],) + onerow.shape
+    )
+    zi = np.flatnonzero(iszero)
+    if zi.size:
+        z_dev = z_dev.at[jnp.asarray(zi)].set(0)
+    return z_dev
+
+
 def load_groth16(path: str):
     """Returns (ProvingKey, VerifyingKey) or None if absent/unreadable."""
     from . import groth16 as g16
@@ -109,11 +142,11 @@ def load_groth16(path: str):
     )
     pts = {}
     for f in _PT_FIELDS:
-        coords = [
-            jnp.asarray(np.ascontiguousarray(z[f"{f}_{c}"]).astype(np.uint32))
-            for c in ("x", "y", "z")
-        ]
-        pts[f] = cv.JacPoint(*coords)
+        pts[f] = cv.JacPoint(
+            _ship_limbs(z[f"{f}_x"]),
+            _ship_limbs(z[f"{f}_y"]),
+            _ship_z(z[f"{f}_z"]),
+        )
     return g16.ProvingKey(vk=vk, **pts), vk
 
 
