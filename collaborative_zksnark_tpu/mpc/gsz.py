@@ -15,11 +15,11 @@ check at 2t) and deals a fresh degree-t sharing.  As in the reference, the
 ref :383-410) — here as zeros; the king dealing is otherwise faithful.
 
 Every multiplication queues its (x, y, z) triple; before any reveal the
-queue is drained by a random-linear-combination product check opened at
-degree 2t (the deferred-verification slot of the reference's
-hadamard_check -> ip_check pipeline, ref :599-787; the recursive ip_compress
-refinement is future work — the check here still catches any inconsistent
-triple against the opened polynomial).
+queue is drained by the hadamard_check -> ip_check pipeline (ref :599-787):
+the triples fold into one inner product by random linear combination and
+`_ip_check` compresses it recursively (halving via interpolated line/
+parabola polynomials, blinded base case) until a constant-size relation is
+opened and checked at degree 2t.
 """
 
 from __future__ import annotations

@@ -6,7 +6,9 @@ to blocked-prefix rows) at any size by shrinking _CHUNK_SLOTS.
 """
 import os, sys, time
 
-mode = sys.argv[1]
+mode = sys.argv[1] if len(sys.argv) > 1 else ""
+if mode not in ("cpu", "tpu"):
+    sys.exit(f"usage: {sys.argv[0]} {{cpu|tpu}} [logn] [c] [chunk_log]")
 logn = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 c = int(sys.argv[3]) if len(sys.argv) > 3 else 13
 chunk_log = int(sys.argv[4]) if len(sys.argv) > 4 else logn + 4
@@ -46,6 +48,9 @@ t0 = time.perf_counter()
 pts = M.fixed_base_msm_ints(cv.FQ2_OPS, H.G2, H.G2_GEN, list(range(1, n + 1)))
 log(f"points built: {time.perf_counter()-t0:.1f}s")
 p_host = cv.g2_to_host(cv.JacPoint(pts.x[:4], pts.y[:4], pts.z[:4]))
+# independent check of the fixed-base path itself: slot k holds (k+1)*G2
+assert p_host[0] == H.G2_GEN and p_host[1] == H.G2.scalar_mul(H.G2_GEN, 2), \
+    "native fixed-base output wrong — case expectations below would be bogus"
 
 def run(name, sc_limbs, expect_host):
     t0 = time.perf_counter()
