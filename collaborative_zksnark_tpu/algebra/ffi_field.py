@@ -39,7 +39,10 @@ def _ensure_built(path: str) -> None:
     )
 
 
-if os.environ.get("CZTPU_FFI", "1") != "0":
+# the C++ kernels are compiled against the BLS12-377 constants
+# (native/consts.h); disable under any other active curve (params.py)
+if (os.environ.get("CZTPU_FFI", "1") != "0"
+        and os.environ.get("CZTPU_CURVE", "bls12_377") == "bls12_377"):
     _lib_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",

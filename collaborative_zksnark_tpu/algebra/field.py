@@ -129,11 +129,18 @@ class FieldSpec:
         return out.reshape(arr.shape[:-1])
 
 
-# The two fields of BLS12-377.
-from . import bls12_377 as _C  # noqa: E402
+# The two fields of the active curve (BLS12-377 default; see params.py).
+from . import params as _C  # noqa: E402
 
-FR = FieldSpec.make("bls12_377_fr", _C.R_MOD, 16)
-FQ = FieldSpec.make("bls12_377_fq", _C.Q_MOD, 24)
+
+def _limbs_for(p: int) -> int:
+    """Smallest limb count with >= 2 spare bits (2p < R), as FieldSpec.make
+    asserts: BLS12-377 Fr/Fq -> 16/24, BN254 Fr/Fq -> 16/16."""
+    return -(-(p.bit_length() + 2) // LIMB_BITS)
+
+
+FR = FieldSpec.make(f"{_C.CURVE}_fr", _C.R_MOD, _limbs_for(_C.R_MOD))
+FQ = FieldSpec.make(f"{_C.CURVE}_fq", _C.Q_MOD, _limbs_for(_C.Q_MOD))
 
 
 # ---------------------------------------------------------------------------

@@ -243,10 +243,13 @@ class CurveOps:
     """Generic short-Weierstrass affine ops, parameterized over a field
     given as a dict of function pointers (works for Fq ints and Fq2 tuples)."""
 
-    def __init__(self, add, sub, mul, sqr, inv, neg, zero, one, a, b):
+    def __init__(self, add, sub, mul, sqr, inv, neg, zero, one, a, b,
+                 order=None):
         self.fadd, self.fsub, self.fmul = add, sub, mul
         self.fsqr, self.finv, self.fneg = sqr, inv, neg
         self.zero, self.one, self.a, self.b = zero, one, a, b
+        # scalar group order (defaults to BLS12-377 r; BN254 passes its own)
+        self.order = R if order is None else order
 
     def is_on_curve(self, P):
         if P is None:
@@ -302,7 +305,7 @@ class CurveOps:
         return (P[0], self.fneg(P[1]))
 
     def scalar_mul(self, P, k):
-        k %= R
+        k %= self.order
         acc = None
         add = self.add
         while k:

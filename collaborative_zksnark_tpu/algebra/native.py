@@ -54,6 +54,11 @@ def _load():
 
 
 def available() -> bool:
+    # the C++ pairing is compiled for BLS12-377 (native/consts.h)
+    import os
+
+    if os.environ.get("CZTPU_CURVE", "bls12_377") != "bls12_377":
+        return False
     return _load() is not None
 
 

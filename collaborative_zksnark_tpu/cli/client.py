@@ -48,9 +48,9 @@ def main(argv=None):
 
     import numpy as np
 
-    from ..algebra import bls12_377 as C
+    from ..algebra import params as C
     from ..algebra import field as F
-    from ..algebra import hostfield as H
+    from ..algebra import hostapi as H
     from ..mpc import wire
     from ..mpc.context import MpcContext
     from ..ops import curve as cv

@@ -77,7 +77,7 @@ def main(argv=None):
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
     from jax.experimental.shard_map import shard_map
 
-    from ..algebra import bls12_377 as C
+    from ..algebra import params as C
     from ..algebra import field as F
     from ..mpc.context import MpcContext
     from ..mpc.gsz import GszScheme, _party_matmul, _party_vandermonde
@@ -189,7 +189,7 @@ def _run_snark(args, n_parties):
     (ref mpc-snarks/src/groth.rs:11-42 mpc_test_prove_and_verify)."""
     import numpy as np
 
-    from ..algebra import bls12_377 as C
+    from ..algebra import params as C
     from ..algebra import field as F
     from ..mpc import wire
     from ..mpc.context import MpcContext

@@ -48,7 +48,7 @@ def main(argv=None):
 
     import numpy as np
 
-    from ..algebra import bls12_377 as C
+    from ..algebra import params as C
     from ..algebra import field as F
     from ..mpc import wire
     from ..mpc.context import MpcContext

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
 from ..algebra.field import FR
 from ..ops import curve as cv
@@ -103,7 +103,7 @@ def _party_matmul(M_dev, x):
 @functools.lru_cache(maxsize=None)
 def _gen_point(fld) -> cv.JacPoint:
     """Device generator point for the given coordinate field (scalar shape)."""
-    from ..algebra import hostfield as H
+    from ..algebra import hostapi as H
 
     if fld is cv.FQ_OPS:
         p = cv.g1_from_host([H.G1_GEN])

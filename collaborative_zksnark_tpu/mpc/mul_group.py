@@ -19,8 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..algebra import bls12_377 as C
-from ..algebra import hostfield as H
+from ..algebra import params as C
+from ..algebra import hostapi as H
 
 
 @dataclasses.dataclass(frozen=True)

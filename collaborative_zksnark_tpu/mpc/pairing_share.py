@@ -33,7 +33,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
-from ..algebra import hostfield as H
+from ..algebra import hostapi as H
 from ..ops import curve as cv
 
 FQ12_BYTES = 12 * 48  # 12 Fq coordinates, 48 bytes each

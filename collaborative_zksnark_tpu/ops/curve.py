@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
 from ..algebra.field import FQ, FR
 
@@ -86,10 +86,12 @@ class DevFq:
 
 
 class DevFq2:
-    """Fq2 = Fq[u]/(u^2 + 5) over stacked limb arrays (..., 2, L)."""
+    """Fq2 = Fq[u]/(u^2 - NR) over stacked limb arrays (..., 2, L).
+    NR is the active curve's quadratic nonresidue (BLS12-377: -5, ref
+    curves/bls12_377/src/fields/fq2.rs:13; BN254: -1, bn254 fq2.rs:13)."""
 
     spec = FQ
-    NR = -5  # nonresidue (ref curves/bls12_377/src/fields/fq2.rs:13)
+    NR = C.FQ2_NONRESIDUE - C.Q_MOD  # as a small negative int
 
     def add(self, a, b):
         return F.add(self.spec, a, b)
@@ -110,8 +112,9 @@ class DevFq2:
         t = F.mul(s, sa, sb)
         t0, t1, t01 = t[0], t[1], t[2]
         c1 = F.sub(s, t01, F.add(s, t0, t1))
-        # c0 = t0 - 5 t1
-        c0 = F.sub(s, t0, F.mul_small(s, t1, 5))
+        # c0 = t0 + NR t1 (NR negative and small)
+        nrt1 = t1 if self.NR == -1 else F.mul_small(s, t1, -self.NR)
+        c0 = F.sub(s, t0, nrt1)
         return jnp.stack([c0, c1], axis=-2)
 
     def mul_many(self, pairs):
@@ -325,9 +328,11 @@ def proj_to_jac(fld, P: JacPoint) -> JacPoint:
 
 
 def point_add_proj(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
-    """Complete projective add (RCB16 alg 7, a=0, b3=3).  G1 only."""
-    assert fld is FQ_OPS, "complete projective formulas are G1-only (b3=3)"
-    if F._pallas_ok():
+    """Complete projective add (RCB16 alg 7, a=0, b3=3b).  G1 only."""
+    assert fld is FQ_OPS, "complete projective formulas are G1-only (a=0)"
+    b3 = 3 * C.G1_B
+    # the fused Pallas kernel hard-codes the BLS12-377 b3=3 constants
+    if F._pallas_ok() and b3 == 3:
         from . import pallas_curve
 
         x, y, z = pallas_curve.point_add_proj_g1(
@@ -348,10 +353,10 @@ def point_add_proj(fld, P: JacPoint, Q: JacPoint) -> JacPoint:
     t4 = fld.sub(fld.sub(a4, t1), t2)           # Y1Z2 + Y2Z1
     t5 = fld.sub(fld.sub(a5, t0), t2)           # X1Z2 + X2Z1
     m = fld.mul_small(t0, 3)
-    w = fld.mul_small(t2, 3)                    # b3 Z1Z2
+    w = fld.mul_small(t2, b3)                   # b3 Z1Z2
     s = fld.add(t1, w)
     d = fld.sub(t1, w)
-    v = fld.mul_small(t5, 3)                    # b3 (X1Z2+X2Z1)
+    v = fld.mul_small(t5, b3)                   # b3 (X1Z2+X2Z1)
     x1, x2, y1, y2, z1, z2 = fld.mul_many(
         [(t3, d), (t4, v), (d, s), (m, v), (t4, s), (t3, m)]
     )
@@ -536,7 +541,7 @@ def g2_from_host(points) -> JacPoint:
 
 
 def g2_to_host(P: JacPoint):
-    from ..algebra import hostfield as H
+    from ..algebra import hostapi as H
 
     xs = FQ2_OPS.to_host(P.x)
     ys = FQ2_OPS.to_host(P.y)

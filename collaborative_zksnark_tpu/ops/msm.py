@@ -103,9 +103,19 @@ _CHUNK_SLOTS = 1 << 22
 _CHUNK = 1 << int(_os.environ.get("CZTPU_MSM_CHUNK_LOG2", "18"))
 
 
-def _scalar_bits_standard(scalars_mont):
+def _scalar_bits_standard(scalars_mont, spec=None):
     """Montgomery-form Fr scalars (N, L) -> canonical standard-form limbs."""
-    return F.from_mont(FR, scalars_mont)
+    return F.from_mont(spec if spec is not None else FR, scalars_mont)
+
+
+def _sspec(fld):
+    """Scalar-field spec of a device curve-ops object (BLS Fr default;
+    BN254 ops carry their own — see ops/bn_device.py)."""
+    return getattr(fld, "scalar_spec", FR)
+
+
+def _sbits(fld):
+    return getattr(fld, "scalar_bits", FR_BITS)
 
 
 def _scalar_zero_point(fld, like: JacPoint) -> JacPoint:
@@ -115,13 +125,14 @@ def _scalar_zero_point(fld, like: JacPoint) -> JacPoint:
 
 def msm_bitserial(fld, points: JacPoint, scalars_mont) -> JacPoint:
     """sum_i scalars[i] * points[i]; scalars in Montgomery form (N, L)."""
-    sc = _scalar_bits_standard(scalars_mont)
+    sc = _scalar_bits_standard(scalars_mont, _sspec(fld))
+    n_bits = _sbits(fld)
     zero_scalar = _scalar_zero_point(fld, points)
     zero_batch = zero_point(fld, points)
 
     def body(i, acc):
         acc = point_double(fld, acc)
-        t = FR_BITS - 1 - i
+        t = n_bits - 1 - i
         limb = jax.lax.dynamic_index_in_dim(
             sc, t // F.LIMB_BITS, axis=1, keepdims=False
         )
@@ -130,7 +141,7 @@ def msm_bitserial(fld, points: JacPoint, scalars_mont) -> JacPoint:
         contrib = reduce_points(fld, masked)
         return point_add(fld, acc, contrib)
 
-    return jax.lax.fori_loop(0, FR_BITS, body, zero_scalar)
+    return jax.lax.fori_loop(0, n_bits, body, zero_scalar)
 
 
 # ---------------------------------------------------------------------------
@@ -412,13 +423,13 @@ def msm_pippenger(
 
 @functools.lru_cache(maxsize=None)
 def _pippenger_kernel(fld, c, proj=False):
-    n_windows = (FR_BITS + c - 1) // c
+    n_windows = (_sbits(fld) + c - 1) // c
     strat = _PointStrat(fld, proj)
 
     def f(points, scalars_mont):
         n = points.x.shape[0]
         points = strat.enter(points)
-        sc = _scalar_bits_standard(scalars_mont)
+        sc = _scalar_bits_standard(scalars_mont, _sspec(fld))
         digs = _window_digits(sc, c, n_windows)            # (W, N)
 
         # Window chunking bounds peak HBM: the flat gathered+scanned point
@@ -513,7 +524,8 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
     compile-cache reuse on the kernel paths."""
     from ..algebra import ffi_field
 
-    if ffi_field.HAVE_FFI and jax.default_backend() == "cpu":
+    # native kernels are compiled for the BLS12-377 constants only
+    if ffi_field.HAVE_FFI and jax.default_backend() == "cpu" and _sspec(fld) is FR:
         ox, oy, oz = ffi_field.msm(
             fld is FQ2_OPS, points.x, points.y, points.z, scalars_mont
         )
@@ -587,23 +599,24 @@ def fixed_base_msm_ints(fld, host_curve, base_host, scalar_ints, c: int = 8):
     Falls back to the device windowed-table kernel.
     Ref analog: arkworks FixedBaseMSM (generator.rs / kzg10 setup)."""
     from ..algebra import ffi_field
-    from ..algebra import bls12_377 as C
 
-    scalar_ints = [int(v) % C.R_MOD for v in scalar_ints]
+    sspec = _sspec(fld)
+    scalar_ints = [int(v) % sspec.p for v in scalar_ints]
     if not scalar_ints:
-        from . import curve as curve_mod
-
-        return curve_mod.g1_from_host([]) if fld is FQ_OPS else curve_mod.g2_from_host([])
-    if ffi_field.HAVE_FFI:
+        return _from_host_fn(fld)([])
+    # the native kernels are compiled for the BLS12-377 constants only
+    if ffi_field.HAVE_FFI and sspec is FR:
         R = 1 << (F.LIMB_BITS * FR.L)
-        sc_np = F.ints_to_limbs([v * R % C.R_MOD for v in scalar_ints], FR.L)
+        sc_np = F.ints_to_limbs([v * R % sspec.p for v in scalar_ints], FR.L)
         ox, oy, oz = ffi_field.fixed_base_host(fld is FQ2_OPS, base_host, sc_np)
         # ONE device transfer for all three coordinates (per-query where/
         # broadcast device ops were a remote compile per shape; oz is
         # already {0, Montgomery-one} from the kernel's normalization)
         big = jnp.asarray(np.stack([ox, oy, oz]))
         return JacPoint(big[0], big[1], big[2])
-    return fixed_base_msm(fld, host_curve, base_host, FR.to_device(scalar_ints), c=c)
+    return fixed_base_msm(
+        fld, host_curve, base_host, sspec.to_device(scalar_ints), c=c
+    )
 
 
 def fixed_base_msm(fld, host_curve, base_host, scalars_mont, c: int = 8):
@@ -614,7 +627,7 @@ def fixed_base_msm(fld, host_curve, base_host, scalars_mont, c: int = 8):
     over windows with a fori loop.
     Ref analog: arkworks FixedBaseMSM (used by generator.rs / KZG setup).
     """
-    n_windows = (FR_BITS + c - 1) // c
+    n_windows = (_sbits(fld) + c - 1) // c
     bases = []
     cur = base_host
     for w in range(n_windows):
@@ -624,7 +637,7 @@ def fixed_base_msm(fld, host_curve, base_host, scalars_mont, c: int = 8):
     from_host = _from_host_fn(fld)
     base_pts = from_host(bases)  # (W, ...)
 
-    sc = jax.jit(_scalar_bits_standard)(scalars_mont)
+    sc = jax.jit(functools.partial(_scalar_bits_standard, spec=_sspec(fld)))(scalars_mont)
     digs = jax.jit(functools.partial(_window_digits, c=c, n_windows=n_windows))(sc)
 
     return _fixed_base_kernel(fld, c, n_windows)(base_pts, digs)
@@ -633,6 +646,8 @@ def fixed_base_msm(fld, host_curve, base_host, scalars_mont, c: int = 8):
 def _from_host_fn(fld):
     from . import curve as curve_mod
 
+    if hasattr(fld, "from_host"):  # non-default curves (ops/bn_device.py)
+        return fld.from_host
     if fld is FQ_OPS:
         return curve_mod.g1_from_host
     return curve_mod.g2_from_host

@@ -40,7 +40,7 @@ _NTT_PLANES = _os.environ.get("CZTPU_NTT_PLANES", "0") == "1"
 _NTT_MXU = _os.environ.get("CZTPU_NTT_MXU", "0") == "1"
 _NTT_MXU_MIN = 4096
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
 from ..algebra.field import FieldSpec
 

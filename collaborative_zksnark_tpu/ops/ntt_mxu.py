@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
 from ..algebra.field import FR
 

@@ -103,7 +103,7 @@ def transform_colshard(
     by g^-i over the output index split (k1, k2)).
     Ref analogs: distribute_powers + fft / coset_ifft
     (algebra/poly/src/domain/mod.rs) distributed per SURVEY.md §5.7."""
-    from ..algebra import bls12_377 as C
+    from ..algebra import params as C
 
     n2_loc = n2 // n_shards
     assert local.shape[0] == n1 and local.shape[1] == n2_loc, local.shape

@@ -27,9 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
-from ..algebra import hostfield as H
+from ..algebra import hostapi as H
 from ..algebra.field import FR
 from ..ops import curve as cv
 from ..ops import msm as msm_mod
@@ -96,7 +96,7 @@ def _host_affine_g1(xl, yl, zl):
 
 
 def _host_affine_g2(xl, yl, zl):
-    from ..algebra import hostfield as H
+    from ..algebra import hostapi as H
 
     q = F.FQ.p
     Rinv = pow(1 << (F.LIMB_BITS * F.FQ.L), -1, q)

@@ -31,9 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
-from ..algebra import hostfield as H
+from ..algebra import hostapi as H
 from ..algebra.field import FR
 from ..mpc.local import LocalScheme
 from ..ops import ntt

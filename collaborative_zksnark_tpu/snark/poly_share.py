@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 from ..algebra import field as F
 from ..algebra.field import FR
 from ..ops import ntt

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
-from ..algebra import bls12_377 as C
+from ..algebra import params as C
 
 P = C.R_MOD
 Q = C.Q_MOD

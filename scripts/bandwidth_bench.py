@@ -46,7 +46,14 @@ def run_rate(rate, size, port):
     for i, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"party {i} rc={p.returncode}\n{o[-1500:]}"
     m = re.search(r"End: timed section ([0-9.]+)s", outs[0])
-    return float(m.group(1))
+    mb = re.search(r"stats: (\{.*\})", outs[0])
+    sent = 0
+    if mb:
+        try:
+            sent = int(eval(mb.group(1)).get("bytes_sent", 0))
+        except Exception:
+            pass
+    return float(m.group(1)), sent
 
 
 def main():
@@ -57,18 +64,18 @@ def main():
     rows = []
     # unshaped baseline first (also warms the persistent compile cache so
     # the shaped rows time protocol + link, not compiles)
-    t = run_rate(None, args.size, 12720)
-    print(f"lan (unshaped): {t:.3f}s", flush=True)
-    rows.append(("lan", t))
+    t, sent = run_rate(None, args.size, 12720)
+    print(f"lan (unshaped): {t:.3f}s ({sent} B sent by party 0)", flush=True)
+    rows.append(("lan", t, sent))
     for i, r in enumerate(args.rates.split(",")):
-        t = run_rate(float(r), args.size, 12721 + i)
-        print(f"{r} MB/s: {t:.3f}s", flush=True)
-        rows.append((r, t))
+        t, sent = run_rate(float(r), args.size, 12721 + i)
+        print(f"{r} MB/s: {t:.3f}s ({sent} B)", flush=True)
+        rows.append((r, t, sent))
     out = os.path.join(REPO, "analysis", "data", "bad_net.csv")
     with open(out, "w") as f:
-        f.write("link_mbps,prove_wall_s\n")
-        for r, t in rows:
-            f.write(f"{r},{t}\n")
+        f.write("link_mbps,prove_wall_s,bytes_sent_party0\n")
+        for r, t, sent in rows:
+            f.write(f"{r},{t},{sent}\n")
     print("wrote", out)
 
 
