@@ -562,24 +562,26 @@ def _msm_grid(fld, queries, chunk: int):
 @functools.lru_cache(maxsize=None)
 def _fused_prove_kernel(n: int, m: int, ninst: int, kshape: tuple,
                         chunk: int):
+    """TWO jitted programs — (witness map + the four G1 MSMs + G1/proof
+    assembly) and (the G2 MSM + G2 assembly) — instead of one.  A single
+    fused 2^20 program's serialized HLO exceeds the remote-compile
+    transport's body limit (HTTP 413 observed on the axon tunnel); the
+    split roughly halves each request while keeping the dispatch count at
+    2 (vs ~40 for the eager path)."""
     domain = ntt.get_radix2_domain(n)
     G1, G2 = cv.FQ_OPS, cv.FQ2_OPS
 
-    def f(mats, aq, b1q, b2q, hq, lq, singles, z, r_m, s_m):
-        alpha_g1, beta_g1, beta_g2, delta_g1, delta_g2 = singles
+    def f1(mats, aq, b1q, hq, lq, singles_g1, z, r_m, s_m):
+        alpha_g1, beta_g1, delta_g1 = singles_g1
         h = _witness_map_body(domain, mats, z, lambda x, y: F.mul(FR, x, y))
         wit = z[ninst:]
         a_acc, b1_acc, h_acc, l_acc = _msm_grid(
             G1, [(aq, z), (b1q, z), (hq, h), (lq, wit)], chunk
         )
-        (b2_acc,) = _msm_grid(G2, [(b2q, z)], chunk)
-
         r_delta_g1 = _scalar_mul_inline(G1, delta_g1, r_m)
         s_delta_g1 = _scalar_mul_inline(G1, delta_g1, s_m)
-        s_delta_g2 = _scalar_mul_inline(G2, delta_g2, s_m)
         g_a = cv.point_add(G1, cv.point_add(G1, alpha_g1, a_acc), r_delta_g1)
         g1_b = cv.point_add(G1, cv.point_add(G1, beta_g1, b1_acc), s_delta_g1)
-        g2_b = cv.point_add(G2, cv.point_add(G2, beta_g2, b2_acc), s_delta_g2)
         s_ga = _scalar_mul_inline(G1, g_a, s_m)
         r_gb = _scalar_mul_inline(G1, g1_b, r_m)
         rs = F.mul(FR, r_m[None], s_m[None])[0]
@@ -588,9 +590,14 @@ def _fused_prove_kernel(n: int, m: int, ninst: int, kshape: tuple,
         g_c = cv.point_add(G1, g_c, cv.point_neg(G1, rs_delta))
         g_c = cv.point_add(G1, g_c, l_acc)
         g_c = cv.point_add(G1, g_c, h_acc)
-        return g_a, g2_b, g_c
+        return g_a, g_c
 
-    return jax.jit(f)
+    def f2(b2q, beta_g2, delta_g2, z, s_m):
+        (b2_acc,) = _msm_grid(G2, [(b2q, z)], chunk)
+        s_delta_g2 = _scalar_mul_inline(G2, delta_g2, s_m)
+        return cv.point_add(G2, cv.point_add(G2, beta_g2, b2_acc), s_delta_g2)
+
+    return jax.jit(f1), jax.jit(f2)
 
 
 def _prove_fused(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont) -> Proof:
@@ -598,15 +605,15 @@ def _prove_fused(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont) -> Proof:
     domain = ntt.get_radix2_domain(len(a_rows))
     mats = cs.device_matrices(domain.n)
     kshape = tuple(int(mt[0].shape[1]) for mt in mats)
-    kern = _fused_prove_kernel(
+    kern_g1, kern_g2 = _fused_prove_kernel(
         domain.n, cs.num_variables, cs.num_instance, kshape, msm_mod._CHUNK
     )
-    g_a, g2_b, g_c = kern(
-        tuple(mats), pk.a_query, pk.b_g1_query, pk.b_g2_query, pk.h_query,
-        pk.l_query,
-        (pk.alpha_g1, pk.beta_g1, pk.beta_g2, pk.delta_g1, pk.delta_g2),
+    g_a, g_c = kern_g1(
+        tuple(mats), pk.a_query, pk.b_g1_query, pk.h_query, pk.l_query,
+        (pk.alpha_g1, pk.beta_g1, pk.delta_g1),
         z, r_mont, s_mont,
     )
+    g2_b = kern_g2(pk.b_g2_query, pk.beta_g2, pk.delta_g2, z, s_mont)
     return Proof(a=g_a, b=g2_b, c=g_c)
 
 
