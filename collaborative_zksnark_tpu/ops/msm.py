@@ -530,6 +530,13 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
             fld is FQ2_OPS, points.x, points.y, points.z, scalars_mont
         )
         return JacPoint(ox, oy, oz)
+    if jax.default_backend() == "cpu":
+        # No native kernel for this curve: stay on the bit-serial kernel.
+        # XLA:CPU takes tens of minutes (and LLVM OOMs) compiling the
+        # Pippenger program that the TPU compile server handles; the CPU
+        # backend is the test/fallback path, never the production MSM.
+        points, scalars_mont = _pad_pow2(fld, points, scalars_mont)
+        return _bitserial_kernel(fld)(points, scalars_mont)
     n = points.x.shape[0]
     if n <= _CHUNK:
         # pad only WITHIN a chunk: padding before chunking doubles the

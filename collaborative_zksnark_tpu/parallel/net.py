@@ -332,29 +332,38 @@ class ProcNet:
 
     def atomic_gather(self, sh, tamper_fn=None):
         """Commit-then-open broadcast (ref channel.rs:50-75): digest round,
-        payload round, verify payloads against committed digests."""
-        from ..algebra.field import FR
-        from ..utils import arith_hash
+        payload round, verify payloads against committed digests.
 
-        flat = arith_hash.pack_stream(sh, batch_dims=0)
-        salt = jnp.full((FR.L,), self.id, jnp.uint32)
-        digest = arith_hash.tree_hash(flat, salt)
+        ProcNet runs its collectives EAGERLY on the host, so the commit
+        uses SHA-256 exactly like the reference (channel.rs:56-58 hashes
+        the serialized payload + a salt) — the algebraic MiMC commitment
+        (utils/arith_hash.py) is only needed where hashing must trace
+        into jit (StackedNet / MeshNet).  MiMC executed ~0.2 s of tiny
+        sequential field ops per call on CPU, which dominated
+        multi-process SPDZ proves."""
+        import hashlib
+
+        arr = np.asarray(sh)
+        digest = np.frombuffer(
+            hashlib.sha256(bytes([self.id]) + arr.tobytes()).digest(),
+            np.uint8,
+        )
         self.stats.broadcasts += 2
-        b = _nbytes(sh) + _nbytes(digest)
+        b = _nbytes(sh) + digest.nbytes
         self.stats.bytes_sent += b * (self.n - 1)
         self.stats.bytes_recv += b * (self.n - 1)
         self._shape(b * (self.n - 1))
-        digests = self._tcp_allgather(digest)                  # commit
-        opened = self._tcp_allgather(sh)                       # open
+        digests = np.asarray(self._tcp_allgather(digest))      # commit
+        opened = self._tcp_allgather(arr)                      # open
         if tamper_fn is not None:
             opened = tamper_fn(opened)
-        salts = (
-            jnp.arange(self.n, dtype=jnp.uint32)[:, None]
-            + jnp.zeros((self.n, FR.L), jnp.uint32)
+        op_np = np.asarray(opened)
+        ok = all(
+            hashlib.sha256(bytes([i]) + op_np[i].tobytes()).digest()
+            == digests[i].tobytes()
+            for i in range(self.n)
         )
-        reflat = arith_hash.pack_stream(opened, batch_dims=1)
-        recheck = arith_hash.tree_hash(reflat, salts)
-        return opened, jnp.all(recheck == digests)
+        return jnp.asarray(opened), jnp.asarray(ok)
 
     def check_eq(self, value):
         g = self._tcp_allgather(value)
@@ -371,23 +380,8 @@ class ProcNet:
         return g[1 - self.id]
 
     def atomic_exchange(self, sh, tamper_fn=None):
-        from ..algebra.field import FR
-        from ..utils import arith_hash
-
-        flat = arith_hash.pack_stream(sh, batch_dims=0)
-        salt = jnp.full((FR.L,), self.id, jnp.uint32)
-        digest = arith_hash.tree_hash(flat, salt)
-        digests = self._tcp_allgather(digest)
-        opened_all = self._tcp_allgather(sh)
-        if tamper_fn is not None:
-            opened_all = tamper_fn(opened_all)
-        salts = (
-            jnp.arange(2, dtype=jnp.uint32)[:, None]
-            + jnp.zeros((2, FR.L), jnp.uint32)
-        )
-        reflat = arith_hash.pack_stream(opened_all, batch_dims=1)
-        recheck = arith_hash.tree_hash(reflat, salts)
-        return opened_all[1 - self.id], jnp.all(recheck == digests)
+        opened, ok = self.atomic_gather(sh, tamper_fn=tamper_fn)
+        return opened[1 - self.id], ok
 
     def _star_chan(self):
         if self._star is None:

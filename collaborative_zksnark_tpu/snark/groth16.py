@@ -424,19 +424,47 @@ LOCAL_HOOKS = LocalHooks()
 def _witness_map_body(domain, mats, z, mul_vec):
     """Trace-inline QAP witness map body, shared by witness_map (eager)
     and the fused prover kernel (inside one jit)."""
+    return _witness_map_tabbed(domain, _domain_tables(domain), mats, z,
+                               mul_vec)
+
+
+def _domain_tables(domain):
+    """Domain NTT/coset tables as a pytree of device arrays — passed as
+    runtime ARGUMENTS to jitted provers.  Closing over them instead bakes
+    them into the program as constants: the 2^20 witness map's HLO was
+    ~960 MB of inlined twiddles, far over the remote-compile transport's
+    body limit (HTTP 413 on the tunnel)."""
+    d = domain._dev()
+    cd = domain._coset_dev()
+    import jax.numpy as _jnp
+
+    return dict(
+        perm=d["perm"], twf=d["twf"], twi=d["twi"], ninv=d["ninv"],
+        g=cd["g"], ginv=cd["ginv"],
+        zinv=_jnp.asarray(domain.vanishing_on_coset_inv()),
+    )
+
+
+def _witness_map_tabbed(domain, tabs, mats, z, mul_vec):
+    ifft = lambda x: domain._ifft_core(x, tabs["perm"], tabs["twi"],
+                                       tabs["ninv"])
+    coset_fft = lambda x: domain._coset_fft_core(x, tabs["perm"],
+                                                 tabs["twf"], tabs["g"])
+    coset_ifft = lambda x: domain._coset_ifft_core(
+        x, tabs["perm"], tabs["twi"], tabs["ninv"], tabs["ginv"])
+
     a_ev = sparse_matvec(mats[0], z)
     b_ev = sparse_matvec(mats[1], z)
     c_ev = sparse_matvec(mats[2], z)
 
-    a_cos = domain.coset_fft(domain.ifft(a_ev))
-    b_cos = domain.coset_fft(domain.ifft(b_ev))
-    c_cos = domain.coset_fft(domain.ifft(c_ev))
+    a_cos = coset_fft(ifft(a_ev))
+    b_cos = coset_fft(ifft(b_ev))
+    c_cos = coset_fft(ifft(c_ev))
 
     ab = mul_vec(a_cos, b_cos)                # [NETWORK in MPC: 1 Beaver round]
     num = F.sub(FR, ab, c_cos)
-    zinv = domain.vanishing_on_coset_inv()
-    h_cos = F.mul(FR, num, zinv[None])
-    h = domain.coset_ifft(h_cos)
+    h_cos = F.mul(FR, num, tabs["zinv"][None])
+    h = coset_ifft(h_cos)
     return h[: domain.n - 1]
 
 
@@ -571,9 +599,10 @@ def _fused_prove_kernel(n: int, m: int, ninst: int, kshape: tuple,
     domain = ntt.get_radix2_domain(n)
     G1, G2 = cv.FQ_OPS, cv.FQ2_OPS
 
-    def f1(mats, aq, b1q, hq, lq, singles_g1, z, r_m, s_m):
+    def f1(tabs, mats, aq, b1q, hq, lq, singles_g1, z, r_m, s_m):
         alpha_g1, beta_g1, delta_g1 = singles_g1
-        h = _witness_map_body(domain, mats, z, lambda x, y: F.mul(FR, x, y))
+        h = _witness_map_tabbed(domain, tabs, mats, z,
+                                lambda x, y: F.mul(FR, x, y))
         wit = z[ninst:]
         a_acc, b1_acc, h_acc, l_acc = _msm_grid(
             G1, [(aq, z), (b1q, z), (hq, h), (lq, wit)], chunk
@@ -609,7 +638,8 @@ def _prove_fused(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont) -> Proof:
         domain.n, cs.num_variables, cs.num_instance, kshape, msm_mod._CHUNK
     )
     g_a, g_c = kern_g1(
-        tuple(mats), pk.a_query, pk.b_g1_query, pk.h_query, pk.l_query,
+        _domain_tables(domain), tuple(mats),
+        pk.a_query, pk.b_g1_query, pk.h_query, pk.l_query,
         (pk.alpha_g1, pk.beta_g1, pk.delta_g1),
         z, r_mont, s_mont,
     )

@@ -93,7 +93,9 @@ def test_msm_bitserial_parity(grp):
 
 
 @pytest.mark.slow
-def test_msm_pippenger_parity():
+def test_msm_larger_parity():
+    """n=200 through msm() (bit-serial on the CPU backend — the XLA
+    Pippenger compiles only on the TPU compile server; see ops/msm.py)."""
     rng = np.random.default_rng(6)
     npts = 200
     hpts = [B.G1.scalar_mul(B.G1_GEN, k + 1) for k in range(npts)]
@@ -102,6 +104,32 @@ def test_msm_pippenger_parity():
     got = D.g1_to_host(type(res)(res.x[None], res.y[None], res.z[None]))[0]
     acc = sum((k + 1) * s for k, s in enumerate(sc)) % C.R_MOD
     assert got == B.G1.scalar_mul(B.G1_GEN, acc)
+
+
+def test_window_digits_254bit():
+    """The BN-specific Pippenger risk is the 254-bit scalar decomposition
+    (BLS is 253): check _window_digits covers the top bit exactly, against
+    a Python-int reference, for both window sizes the dispatcher picks."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    ints = [C.R_MOD - 1, C.R_MOD - 2, 1, (1 << 253) + 12345] + [
+        int(x) for x in rng.integers(1, 2**63, 4)
+    ]
+    sc = D.FR_BN.to_device(ints)
+    bits = M._sbits(D.FQ_OPS_BN)
+    assert bits == 254
+    std = jax.jit(lambda s: M._scalar_bits_standard(s, D.FR_BN))(sc)
+    for c in (4, 11, 13):
+        n_win = (bits + c - 1) // c
+        digs = np.asarray(
+            jax.jit(lambda s: M._window_digits(s, c, n_win))(std)
+        )
+        for i, v in enumerate(ints):
+            rec = sum(
+                int(digs[w, i]) << (c * w) for w in range(n_win)
+            )
+            assert rec == v, (c, i)
 
 
 @pytest.mark.slow
