@@ -422,10 +422,24 @@ LOCAL_HOOKS = LocalHooks()
 
 
 def _witness_map_body(domain, mats, z, mul_vec):
-    """Trace-inline QAP witness map body, shared by witness_map (eager)
-    and the fused prover kernel (inside one jit)."""
-    return _witness_map_tabbed(domain, _domain_tables(domain), mats, z,
-                               mul_vec)
+    """QAP witness map body for EAGER call sites (witness_map /
+    witness_map_mpc): rides the domain's per-transform jitted cores.
+    The fused prover uses _witness_map_tabbed instead (tables as args of
+    the one enclosing jit)."""
+    a_ev = sparse_matvec(mats[0], z)
+    b_ev = sparse_matvec(mats[1], z)
+    c_ev = sparse_matvec(mats[2], z)
+
+    a_cos = domain.coset_fft(domain.ifft(a_ev))
+    b_cos = domain.coset_fft(domain.ifft(b_ev))
+    c_cos = domain.coset_fft(domain.ifft(c_ev))
+
+    ab = mul_vec(a_cos, b_cos)                # [NETWORK in MPC: 1 Beaver round]
+    num = F.sub(FR, ab, c_cos)
+    zinv = domain.vanishing_on_coset_inv()
+    h_cos = F.mul(FR, num, zinv[None])
+    h = domain.coset_ifft(h_cos)
+    return h[: domain.n - 1]
 
 
 def _domain_tables(domain):
