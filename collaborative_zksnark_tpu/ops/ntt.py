@@ -31,14 +31,11 @@ import numpy as np
 # the first domain call (the jitted entry points would otherwise silently
 # ignore later flips through the jit cache).
 _NTT_PLANES = _os.environ.get("CZTPU_NTT_PLANES", "0") == "1"
-# MXU digit-matmul NTT (ops/ntt_mxu.py): opt-in via CZTPU_NTT_MXU=1.
 # Measured on v5e: 8.6 ms @2^16 (on par with radix2) but 147 ms @2^20 vs
 # the ladder's 74.7 ms — the matmuls are ~1 ms of MXU work; the loss is
 # carry/relayout HBM traffic (undigitize's Kogge-Stone chains alone are
 # 62 ms).  Stays off by default until the carry pipeline is fused.
 # Latched at import for the same jit-cache reason as _NTT_PLANES.
-_NTT_MXU = _os.environ.get("CZTPU_NTT_MXU", "0") == "1"
-_NTT_MXU_MIN = 4096
 
 from ..algebra import params as C
 from ..algebra import field as F
@@ -259,54 +256,16 @@ class Radix2Domain:
         out = self._ifft_core(x, perm, tws, ninv)
         return F.mul(self.spec, out, self._coset_reshape(ginv_tbl, out))
 
-    # -- MXU digit-matmul dispatch (ops/ntt_mxu.py) --------------------------
-    def _mxu_ok(self, x):
-        return (
-            _NTT_MXU
-            and self.spec is F.FR
-            and self.n >= _NTT_MXU_MIN
-            and x.ndim in (2, 3)
-            and F._pallas_ok()          # TPU backend (or interpret opt-in)
-        )
-
-    def _mxu_plan(self, kind: str):
-        from . import ntt_mxu
-
-        p = self.spec.p
-        if kind == "fwd":
-            return ntt_mxu.get_plan(self.n, self.omega)
-        if kind == "inv":
-            return ntt_mxu.get_plan(self.n, self.omega_inv,
-                                    scale=pow(self.n, p - 2, p))
-        return ntt_mxu.get_plan(self.n, self.omega_inv)   # inv_unnorm
-
-    def _mxu_apply(self, plan, x):
-        from . import ntt_mxu
-
-        if x.ndim == 2:
-            return ntt_mxu.transform(plan, x)
-        # batch axes between n and L (MPC party stacks): small, loop them
-        return jnp.stack(
-            [ntt_mxu.transform(plan, x[:, i]) for i in range(x.shape[1])],
-            axis=1,
-        )
-
     def fft(self, coeffs):
         """coefficients (n, ..., L) -> evaluations (n, ..., L), natural order."""
-        if self._mxu_ok(coeffs):
-            return self._mxu_apply(self._mxu_plan("fwd"), coeffs)
         d = self._dev()
         return self._fft_j(coeffs, d["perm"], d["twf"])
 
     def ifft(self, evals):
-        if self._mxu_ok(evals):
-            return self._mxu_apply(self._mxu_plan("inv"), evals)
         d = self._dev()
         return self._ifft_j(evals, d["perm"], d["twi"], d["ninv"])
 
     def _ifft_unnormalized(self, evals):
-        if self._mxu_ok(evals):
-            return self._mxu_apply(self._mxu_plan("inv_unnorm"), evals)
         d = self._dev()
         return self._ifft_un_j(evals, d["perm"], d["twi"])
 
