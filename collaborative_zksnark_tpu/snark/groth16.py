@@ -549,7 +549,9 @@ def _msm_grid(fld, queries, chunk: int):
     lax.scan over a stacked chunk grid (+ inline bit-serial for tiny
     remainders).  Trace-inline; returns one single-point JacPoint per
     query.  The scan body is traced once no matter how many chunks run."""
-    c_win = max(4, min(13, chunk.bit_length() - 1 - 5))
+    # respect the per-field window cap: the Jacobian (G2) path miscompiles
+    # on TPU at c=13 with the window-grouping split (ops/msm.py _c_cap)
+    c_win = max(4, min(msm_mod._c_cap(fld), chunk.bit_length() - 1 - 5))
     grids_p, grids_s, bounds, tails = [], [], [], {}
     for qi, (pts, sc) in enumerate(queries):
         nq = sc.shape[0]
@@ -648,8 +650,11 @@ def _prove_fused(pk: ProvingKey, cs: R1CS, z, r_mont, s_mont) -> Proof:
     domain = ntt.get_radix2_domain(len(a_rows))
     mats = cs.device_matrices(domain.n)
     kshape = tuple(int(mt[0].shape[1]) for mt in mats)
+    # chunk caps HBM per MSM program; don't pad small circuits up to the
+    # global cap (a 2^14 prove would run its G2 MSM over 2^18 slots)
+    chunk = min(msm_mod._CHUNK, 1 << max(8, (2 * domain.n - 1).bit_length() - 1))
     kern_g1, kern_g2 = _fused_prove_kernel(
-        domain.n, cs.num_variables, cs.num_instance, kshape, msm_mod._CHUNK
+        domain.n, cs.num_variables, cs.num_instance, kshape, chunk
     )
     g_a, g_c = kern_g1(
         _domain_tables(domain), tuple(mats),
