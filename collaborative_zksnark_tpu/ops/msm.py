@@ -93,7 +93,9 @@ class _PointStrat:
         """Working coords -> Jacobian (once, on the final point)."""
         return proj_to_jac(self.fld, P) if self.proj else P
 
-FR_BITS = 253
+from ..algebra import params as _C
+
+FR_BITS = _C.FR_BITS  # scalar bit width of the ACTIVE curve (253 BLS / 254 BN)
 
 # Cap on flat (window-group x points) slots held live by one Pippenger
 # group — bounds peak HBM (~288 B/slot for G1 + scan temporaries).
