@@ -172,6 +172,48 @@ def main():
         flush=True,
     )
 
+    # ---- speed-of-light accounting (BASELINE north star) ----------------
+    # Measure the chip's elementwise modmul peaks LIVE (Fr for NTT, Fq for
+    # curve adds), then relate each headline to its kernel's known mul
+    # count.  A chained y = y*b loop forces sequential execution.
+    try:
+        def peak_muls(spec, tag):
+            m = 1 << 20
+            a = F.rand(spec, rng, (m,))
+            b = F.rand(spec, rng, (m,))
+            f = jax.jit(lambda u, v: F.mul(spec, u, v))
+            y = f(a, b)
+            np.asarray(y[0])
+            reps_p = 8
+            t0 = time.perf_counter()
+            for _ in range(reps_p):
+                y = f(y, b)
+            np.asarray(y[0])
+            rate = m * reps_p / (time.perf_counter() - t0)
+            log(f"peak {tag} modmul: {rate/1e6:.0f} M muls/s")
+            return rate
+
+        fr_peak = peak_muls(F.FR, "Fr(8-limb)")
+        fq_peak = peak_muls(F.FQ, "Fq(12-limb)")
+        # NTT: one Fr mul per butterfly is the irreducible work.
+        ntt_rate = butterflies / ntt_time
+        log(f"roofline NTT 2^20: {ntt_rate/1e6:.1f} M butterflies/s = "
+            f"{100*ntt_rate/fr_peak:.0f}% of Fr-mul SoL")
+        # MSM (sort/scan Pippenger, c=11 at 2^16): adds ~ W*(N + 4*2^c)
+        # (msm.py v3 cost model), complete projective add = 12 Fq muls
+        # (ops/curve.py).  SoL = the chip doing nothing but those muls.
+        c_w = 11
+        n_windows = -(-253 // c_w)
+        adds = n_windows * (n_msm + 4 * (1 << c_w))
+        muls_per_pt = adds * 12 / n_msm
+        sol_pts = fq_peak / muls_per_pt
+        log(f"roofline MSM 2^16: {msm_rate/1e3:.1f} K pts/s "
+            f"({muls_per_pt:.0f} Fq muls/pt model) = "
+            f"{100*msm_rate/sol_pts:.0f}% of Fq-mul SoL "
+            f"({sol_pts/1e3:.0f} K pts/s)")
+    except Exception as e:
+        log(f"roofline aborted: {type(e).__name__}: {e}")
+
     # ---- extras (budget-guarded, stderr only) ---------------------------
     try:
         extras(rng)
@@ -180,13 +222,18 @@ def main():
 
 
 def extras(rng):
-    """Reference-scale rows (budget-guarded, stderr): Groth16 local at
-    2^14/2^20 and 2-party SPDZ at 2^16 (+2^20 budget permitting) on the
-    chip — the BASELINE.md:15-17 flagship configs (ref: 127.4 s local /
-    133.2 s 2-party SPDZ @2^20 on GCP VMs, analysis/data/groth16.csv:22).
-    Setup runs on the NATIVE host fixed-base kernel and ships points once
-    (the round-2 198 s device-compile setup wall is gone)."""
-    import jax
+    """Reference-scale rows (budget-guarded, stderr): Groth16 local +
+    2-party SPDZ at 2^20/2^14/2^16 and Plonk/Marlin local + SPDZ at 2^14
+    on the chip — the BASELINE.md:15-22 flagship configs (ref Groth16
+    @2^20: 127.4 s local / 133.2 s 2-party SPDZ on GCP VMs,
+    analysis/data/groth16.csv:22; ref Plonk @2^20 local 1516 s,
+    weak_1_20.csv).  Groth16 keys come from the disk cache
+    (snark/keycache.py — setup is deterministic given (circuit, seed), so
+    the 300 s native setup is paid once ever, like the reference keeps
+    setup outside its `timed section`, mpc-snarks/src/proof.rs).  Every
+    row flushes immediately; each block re-checks the remaining budget;
+    if the budget dies before a warm rerun, the COLD wall (compile
+    included) is the row — a number always lands."""
     import numpy as np
 
     from collaborative_zksnark_tpu.algebra import field as F
@@ -194,89 +241,165 @@ def extras(rng):
     from collaborative_zksnark_tpu.mpc.context import MpcContext
     from collaborative_zksnark_tpu.parallel.net import StackedNet
     from collaborative_zksnark_tpu.relations import r1cs
-    from collaborative_zksnark_tpu.snark import groth16
+    from collaborative_zksnark_tpu.snark import groth16, keycache
 
     def build(logn, seed):
         size = 1 << logn
         t0 = time.perf_counter()
         cs, assign = r1cs.squaring_circuit(size)
-        pk, vk = groth16.setup(cs, seed=seed)
+        pk, vk = keycache.setup_cached(cs, seed=seed, logn=logn, log=log)
         np.asarray(pk.a_query.x[0])  # land the key transfer
-        log(f"groth16 setup 2^{logn}: {time.perf_counter()-t0:.1f}s "
-            f"(native fixed-base + one device transfer)")
+        np.asarray(pk.h_query.x[0])
+        log(f"groth16 keys 2^{logn}: {time.perf_counter()-t0:.1f}s "
+            f"(disk cache + one device transfer)")
         return cs, assign, pk, vk
 
-    def local_prove(cs, assign, pk, vk, logn):
+    def timed_pair(tag, run_once, ref_s=None, min_warm_s=60):
+        """cold run (compile incl.) -> row; warm rerun if budget allows ->
+        better row.  Both flush immediately."""
+        t0 = time.perf_counter()
+        run_once()
+        cold = time.perf_counter() - t0
+        log(f"{tag}: {cold:.3f}s (cold, compile included)"
+            + (f"  [ref {ref_s}s]" if ref_s else ""))
+        if remaining() < max(min_warm_s, 1.6 * cold):
+            return cold
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
+        log(f"{tag}: {dt:.3f}s (warm)"
+            + (f"  [ref {ref_s}s -> {ref_s/dt:.1f}x]" if ref_s else ""))
+        return dt
+
+    def local_prove(cs, assign, pk, vk, logn, ref_s=None):
         inst, wit = assign(12345)
         z = F.FR.to_device(inst + wit)
         r_m = F.rand(F.FR, rng, ())
         s_m = F.rand(F.FR, rng, ())
-        proof = groth16.prove(pk, cs, z, r_m, s_m)  # warm-up (compile)
-        groth16.reveal_proof(proof)
-        t0 = time.perf_counter()
-        proof = groth16.prove(pk, cs, z, r_m, s_m)
-        hp = groth16.reveal_proof(proof)
-        dt = time.perf_counter() - t0
-        ok = groth16.verify(vk, hp, inst[1:])
-        log(f"groth16 local prove 2^{logn}: {dt:.3f}s verified={ok}  "
-            f"(ref @2^20: 127.4s)")
-        assert ok
-        return dt
 
-    def spdz_prove(cs, assign, pk, vk, logn):
+        def once():
+            pf = groth16.prove(pk, cs, z, r_m, s_m)
+            hp = groth16.reveal_proof(pf)
+            assert groth16.verify(vk, hp, inst[1:])
+
+        return timed_pair(f"groth16 local prove 2^{logn}", once, ref_s)
+
+    def spdz_prove(cs, assign, pk, vk, logn, ref_s=None):
         """2-party SPDZ collaborative prove, stacked on the one chip: the
         wall carries BOTH parties' compute serially + MAC tracking (a real
         2-chip deployment runs the halves concurrently)."""
         inst, wit = assign(777)
-        net = StackedNet(2)
-        ctx = MpcContext(net, seed=9)
-        sch = wire.make_scheme("spdz", ctx)
-        z_sh = sch.king_share(F.FR.to_device(inst + wit))
-        r_sh = wire.rand_share(sch)
-        s_sh = wire.rand_share(sch)
-        pf = groth16.prove_mpc(pk, cs, sch, z_sh, r_sh, s_sh)  # warm-up
-        groth16.reveal_proof(pf)
-        net2 = StackedNet(2)
-        ctx2 = MpcContext(net2, seed=9)
-        sch2 = wire.make_scheme("spdz", ctx2)
-        z_sh = sch2.king_share(F.FR.to_device(inst + wit))
-        r_sh = wire.rand_share(sch2)
-        s_sh = wire.rand_share(sch2)
-        t0 = time.perf_counter()
-        pf = groth16.prove_mpc(pk, cs, sch2, z_sh, r_sh, s_sh)
-        hp = groth16.reveal_proof(pf)
-        dt = time.perf_counter() - t0
-        ok = groth16.verify(vk, hp, inst[1:])
-        ctx2.assert_checks()
-        log(f"groth16 SPDZ 2-party prove 2^{logn}: {dt:.3f}s "
-            f"(both parties stacked on 1 chip; per-party-equiv "
-            f"~{dt/2:.1f}s; ref 2x VM @2^20: 133.2s) verified={ok}")
-        assert ok
-        return dt
 
-    # the 2^20 FLAGSHIP first (BASELINE.md:15-17), then smaller insurance
-    # rows with whatever budget remains; each block is fault-isolated
+        def once():
+            net = StackedNet(2)
+            ctx = MpcContext(net, seed=9)
+            sch = wire.make_scheme("spdz", ctx)
+            z_sh = sch.king_share(F.FR.to_device(inst + wit))
+            r_sh = wire.rand_share(sch)
+            s_sh = wire.rand_share(sch)
+            pf = groth16.prove_mpc(pk, cs, sch, z_sh, r_sh, s_sh)
+            hp = groth16.reveal_proof(pf)
+            ok = groth16.verify(vk, hp, inst[1:])
+            ctx.assert_checks()
+            assert ok
+
+        return timed_pair(
+            f"groth16 SPDZ 2-party prove 2^{logn} (both parties stacked "
+            f"on 1 chip)", once, ref_s)
+
+    # the 2^20 FLAGSHIP first (BASELINE.md:15-17), then Plonk/Marlin (the
+    # BASELINE headline names SPDZ Plonk), then smaller insurance rows;
+    # each block is fault-isolated
     def block20():
-        if remaining() < 700:
+        if remaining() < 200:
             log("skipping 2^20 rows: budget")
             return
         cs20, assign20, pk20, vk20 = build(20, seed=3)
-        t_local = local_prove(cs20, assign20, pk20, vk20, 20)
-        log(f"vs reference local @2^20: {127.4/t_local:.2f}x")
-        if remaining() > max(350, 3.5 * t_local):
-            t_spdz = spdz_prove(cs20, assign20, pk20, vk20, 20)
-            log(f"vs reference 2-party SPDZ @2^20: {133.2/t_spdz:.2f}x")
+        local_prove(cs20, assign20, pk20, vk20, 20, ref_s=127.4)
+        if remaining() > 120:
+            spdz_prove(cs20, assign20, pk20, vk20, 20, ref_s=133.2)
+
+    def block_plonk(logn):
+        if remaining() < 180:
+            log(f"skipping plonk 2^{logn} rows: budget")
+            return
+        from collaborative_zksnark_tpu.relations.plonk_circuit import (
+            CircuitLayout, PlonkCircuit)
+        from collaborative_zksnark_tpu.snark import plonk
+
+        circ = PlonkCircuit.squaring(1 << logn, start=3)
+        layout = CircuitLayout.from_circuit(circ)
+        t0 = time.perf_counter()
+        srs = plonk.universal_setup(layout.n_gates, seed=5)
+        pk, vk = plonk.circuit_setup(srs, layout)
+        log(f"plonk setup 2^{logn}: {time.perf_counter()-t0:.1f}s")
+        out = next(circ.values[v] for v, nm in circ.pub_vars.items()
+                   if nm == "out")
+        vals = F.FR.to_device(circ.values)
+
+        def once_local():
+            from collaborative_zksnark_tpu.mpc.local import LocalScheme
+            pf = plonk.Prover(LocalScheme(), pk).prove(vals, {"out": out})
+            assert plonk.verify(vk, pf, {"out": out})
+
+        def once_spdz():
+            ctx = MpcContext(StackedNet(2), seed=9)
+            sch = wire.make_scheme("spdz", ctx)
+            pf = plonk.Prover(sch, pk).prove(
+                sch.king_share(vals), {"out": out})
+            ctx.assert_checks()
+            assert plonk.verify(vk, pf, {"out": out})
+
+        timed_pair(f"plonk local prove 2^{logn}", once_local)
+        if remaining() > 150:
+            timed_pair(f"plonk SPDZ 2-party prove 2^{logn} (stacked)",
+                       once_spdz)
+
+    def block_marlin(logn):
+        if remaining() < 180:
+            log(f"skipping marlin 2^{logn} rows: budget")
+            return
+        from collaborative_zksnark_tpu.snark import marlin
+
+        cs, assign = r1cs.squaring_circuit(1 << logn)
+        t0 = time.perf_counter()
+        srs = marlin.universal_setup(marlin.max_degree_for(cs), seed=5)
+        pk, vk = marlin.index(cs, srs)
+        log(f"marlin setup 2^{logn}: {time.perf_counter()-t0:.1f}s")
+        inst, wit = assign(3)
+        wit_dev = F.FR.to_device(wit)
+
+        def once_local():
+            from collaborative_zksnark_tpu.mpc.local import LocalScheme
+            pf = marlin.prove(pk, LocalScheme(), inst, wit_dev)
+            assert marlin.verify(vk, inst[1:], pf)
+
+        def once_spdz():
+            ctx = MpcContext(StackedNet(2), seed=9)
+            sch = wire.make_scheme("spdz", ctx)
+            pf = marlin.prove(pk, sch, inst, sch.king_share(wit_dev))
+            ctx.assert_checks()
+            assert marlin.verify(vk, inst[1:], pf)
+
+        timed_pair(f"marlin local prove 2^{logn}", once_local)
+        if remaining() > 150:
+            timed_pair(f"marlin SPDZ 2-party prove 2^{logn} (stacked)",
+                       once_spdz)
 
     def block(logn, seed):
-        if remaining() < 250:
+        if remaining() < 150:
             log(f"skipping 2^{logn} rows: budget")
             return
         cs, assign, pk, vk = build(logn, seed=seed)
         local_prove(cs, assign, pk, vk, logn)
-        if remaining() > 200:
+        if remaining() > 100:
             spdz_prove(cs, assign, pk, vk, logn)
 
-    for blk in (block20, lambda: block(14, 1), lambda: block(16, 2)):
+    for blk in (block20,
+                lambda: block_plonk(14),
+                lambda: block_marlin(14),
+                lambda: block(14, 1),
+                lambda: block(16, 2)):
         try:
             blk()
         except Exception as e:  # fault-isolate: later blocks still run
