@@ -580,6 +580,19 @@ def msm(fld, points: JacPoint, scalars_mont, c: int = None) -> JacPoint:
     return msm_pippenger(fld, points, scalars_mont, c=c)
 
 
+def chosen_window(fld, n: int) -> int:
+    """The window c the dispatcher picks for an n-point Pippenger MSM on
+    the TPU path (exposed so roofline accounting — bench.py — derives its
+    cost model from the live tuning instead of restating constants)."""
+    logn = max(1, int(n).bit_length() - 1)
+    return max(4, min(_c_cap(fld), logn - 5))
+
+
+def scalar_bits(fld) -> int:
+    """Bit width of the active curve's scalar field (roofline accounting)."""
+    return _sbits(fld)
+
+
 def _c_cap(fld) -> int:
     """Max Pippenger window per field.  The Jacobian (G2) path is capped
     at c=11: at c=13 with the window-grouping split active, the TPU

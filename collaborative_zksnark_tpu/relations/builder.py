@@ -52,7 +52,11 @@ class LinComb:
     def of(x: Union["LinComb", int]) -> "LinComb":
         if isinstance(x, LinComb):
             return x
-        return LinComb({0: int(x)})
+        if not isinstance(x, int) or isinstance(x, bool):
+            raise TypeError(
+                f"LinComb scalar must be int, got {type(x).__name__} "
+                "(a float would silently truncate)")
+        return LinComb({0: x})
 
     def __add__(self, other):
         other = LinComb.of(other)
@@ -74,7 +78,11 @@ class LinComb:
             raise TypeError(
                 "LinComb * LinComb is not linear — use CircuitBuilder.mul "
                 "to allocate a product witness")
-        return LinComb({v: c * int(k) % _P for v, c in self.terms.items()})
+        if not isinstance(k, int) or isinstance(k, bool):
+            raise TypeError(
+                f"LinComb scalar must be int, got {type(k).__name__} "
+                "(a float would silently truncate)")
+        return LinComb({v: c * k % _P for v, c in self.terms.items()})
 
     __rmul__ = __mul__
 
@@ -213,6 +221,11 @@ class CircuitBuilder:
     def set_value(self, lc: LinComb, value: int):
         """Override a single allocated variable's assignment (testing the
         unsatisfied-trace path)."""
+        if len(lc.terms) != 1:
+            raise ValueError("set_value expects a bare variable LinComb")
         (v, coeff), = lc.terms.items()
-        assert coeff == 1, "set_value expects a bare variable"
+        if coeff != 1:
+            raise ValueError("set_value expects a bare variable (coeff 1)")
+        if v == 0:
+            raise ValueError("cannot override the constant ONE (variable 0)")
         self._values[v] = int(value) % _P

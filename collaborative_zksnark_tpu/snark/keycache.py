@@ -67,6 +67,48 @@ def path_for(name: str, logn: int, seed: int, cache_dir: str = None) -> str:
     )
 
 
+def cs_digest(cs) -> str:
+    """Cheap structural fingerprint of a constraint system: variable counts
+    plus a sha256 over the (A,B,C) rows.  Guards the key cache against a
+    future circuit change at the same (logn, seed) silently loading
+    mismatched keys (advisor r4).  Stored in a tiny sidecar file next to
+    the .npz so the multi-GB key blobs never need rewriting."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"{cs.num_instance},{cs.num_witness};".encode())
+    for rows in (cs.a_rows, cs.b_rows, cs.c_rows):
+        for r in rows:
+            for v, c in r:
+                h.update(v.to_bytes(8, "little"))
+                h.update((c % (1 << 256)).to_bytes(32, "little"))
+        h.update(b"|")
+    return h.hexdigest()
+
+
+def _sidecar(path: str) -> str:
+    return path + ".digest"
+
+
+def check_digest(path: str, digest: str, log=lambda *a: None) -> bool:
+    """True if the cached keys at `path` match `digest` (or predate digest
+    tracking — legacy blobs are trusted and backfilled)."""
+    sc = _sidecar(path)
+    if not os.path.exists(sc):
+        try:  # backfill: legacy cache written before digest tracking
+            with open(sc, "w") as f:
+                f.write(digest)
+        except OSError:
+            pass
+        return True
+    stored = open(sc).read().strip()
+    if stored != digest:
+        log(f"key cache DIGEST MISMATCH at {path}: circuit changed "
+            f"({stored[:12]}... != {digest[:12]}...) — rebuilding")
+        return False
+    return True
+
+
 def save_groth16(path: str, pk, vk) -> None:
     arrs = {}
     for f in _PT_FIELDS:
@@ -156,13 +198,17 @@ def setup_cached(cs, seed: int, logn: int, cache_dir: str = None,
     from . import groth16 as g16
 
     path = path_for("groth16", logn, seed, cache_dir)
-    got = load_groth16(path)
-    if got is not None:
-        log(f"groth16 key cache hit: {path}")
-        return got
+    digest = cs_digest(cs)
+    if os.path.exists(path) and check_digest(path, digest, log=log):
+        got = load_groth16(path)
+        if got is not None:
+            log(f"groth16 key cache hit: {path}")
+            return got
     pk, vk = g16.setup(cs, seed=seed)
     try:
         save_groth16(path, pk, vk)
+        with open(_sidecar(path), "w") as f:
+            f.write(digest)
         log(f"groth16 key cache written: {path}")
     except Exception as e:  # cache failures must not break setup
         log(f"key cache write failed: {e}")
