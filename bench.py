@@ -155,10 +155,12 @@ def main():
     np.asarray(res.x)
     sc2 = F.rand(F.FR, rng, (n_msm,))
     np.asarray(sc2[0])  # land the input before timing
+    reps_m = 3  # single-shot timing is hostage to tunnel latency spikes
     t0 = time.perf_counter()
-    res = msm_mod.msm(cv.FQ_OPS, pts, sc2)
-    np.asarray(res.x)  # single point: tiny transfer
-    msm_time = time.perf_counter() - t0
+    outs = [msm_mod.msm(cv.FQ_OPS, pts, sc2) for _ in range(reps_m)]
+    for o in outs:  # programs execute serially in dispatch order
+        np.asarray(o.x)  # single point: tiny transfer
+    msm_time = (time.perf_counter() - t0) / reps_m
     msm_rate = n_msm / msm_time
     log(f"MSM 2^16: {msm_time*1e3:.1f} ms -> {msm_rate/1e3:.1f} K points/s")
 
