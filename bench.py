@@ -32,7 +32,8 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1680"))
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    el = time.perf_counter() - T_START
+    print(f"[+{el:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def remaining():
@@ -178,6 +179,21 @@ def main():
         flush=True,
     )
 
+    # The headline is out — from here on rc must be 0 no matter what.  A
+    # block that starts inside the budget but hits an unexpected recompile
+    # (cache eviction, code drift) could otherwise run into the driver's
+    # hard timeout (rc=124, rounds 1/3/4).  SIGALRM fires a clean exit at
+    # BUDGET+40 s; every row already flushes as it lands.
+    import signal
+
+    def _budget_alarm(signum, frame):
+        log("budget alarm - exiting cleanly with the rows recorded so far")
+        sys.stderr.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _budget_alarm)
+    signal.alarm(max(1, int(remaining()) + 40))
+
     # ---- speed-of-light accounting (BASELINE north star) ----------------
     # Measure the chip's elementwise modmul peaks LIVE (Fr for NTT, Fq for
     # curve adds), then relate each headline to its kernel's known mul
@@ -226,6 +242,227 @@ def main():
         extras(rng)
     except Exception as e:  # extras must never poison the headline
         log(f"extras aborted: {type(e).__name__}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# Bench-side disk cache for Plonk/Marlin setup artifacts.  Setup is
+# deterministic given (circuit, seed) — exactly the Groth16 keycache
+# argument (snark/keycache.py) applied to the KZG SRS + index: the ~50-160 s
+# of host-side setup per system is paid once, and the driver-run budget goes
+# to PROVE rows.  Serialization preserves exact dtypes/shapes so the loaded
+# arrays trace identically to freshly-built ones (no program re-keying).
+# ---------------------------------------------------------------------------
+
+def _sc_flatten(obj, prefix, arrs, meta):
+    import numpy as np
+
+    if obj is None:
+        meta[prefix] = {"t": "none"}
+    elif isinstance(obj, bool):
+        meta[prefix] = {"t": "bool", "v": obj}
+    elif isinstance(obj, int):
+        meta[prefix] = {"t": "int", "v": str(obj)}
+    elif isinstance(obj, str):
+        meta[prefix] = {"t": "str", "v": obj}
+    elif isinstance(obj, (tuple, list)):
+        meta[prefix] = {"t": type(obj).__name__, "n": len(obj)}
+        for i, x in enumerate(obj):
+            _sc_flatten(x, f"{prefix}.{i}", arrs, meta)
+    elif isinstance(obj, dict):
+        keys = list(obj.keys())
+        meta[prefix] = {"t": "dict", "keys": keys}
+        for k in keys:
+            _sc_flatten(obj[k], f"{prefix}[{k}]", arrs, meta)
+    else:  # array (jnp or np): store narrow, remember the true dtype
+        import numpy as np
+
+        a = np.asarray(obj)
+        stored = a
+        if a.dtype == np.uint32 and a.size and a.max() < (1 << 16):
+            stored = a.astype(np.uint16)
+        meta[prefix] = {"t": "arr", "dtype": str(a.dtype)}
+        arrs[prefix] = stored
+    return arrs, meta
+
+
+def _sc_unflatten(prefix, arrs, meta):
+    import jax.numpy as jnp
+    import numpy as np
+
+    m = meta[prefix]
+    t = m["t"]
+    if t == "none":
+        return None
+    if t == "bool":
+        return m["v"]
+    if t == "int":
+        return int(m["v"])
+    if t == "str":
+        return m["v"]
+    if t in ("tuple", "list"):
+        xs = [_sc_unflatten(f"{prefix}.{i}", arrs, meta) for i in range(m["n"])]
+        return tuple(xs) if t == "tuple" else xs
+    if t == "dict":
+        return {k: _sc_unflatten(f"{prefix}[{k}]", arrs, meta) for k in m["keys"]}
+    a = arrs[prefix]
+    return jnp.asarray(np.ascontiguousarray(a).astype(np.dtype(m["dtype"])))
+
+
+def _sc_save(path, obj):
+    import json as _json
+
+    import numpy as np
+
+    arrs, meta = _sc_flatten(obj, "r", {}, {})
+    arrs["__meta__"] = np.frombuffer(
+        _json.dumps(meta).encode(), dtype=np.uint8
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    os.replace(tmp, path)
+
+
+def _sc_load(path):
+    import json as _json
+
+    import numpy as np
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    meta = _json.loads(bytes(z["__meta__"]).decode())
+    return _sc_unflatten("r", z, meta)
+
+
+def _srs_to_obj(srs):
+    return {
+        "powers": (srs.powers.x, srs.powers.y, srs.powers.z),
+        "max_degree": srs.max_degree,
+        "g1": srs.g1, "g2": srs.g2, "beta_g2": srs.beta_g2,
+        "gamma_powers": None if srs.gamma_powers is None else
+            (srs.gamma_powers.x, srs.gamma_powers.y, srs.gamma_powers.z),
+        "gamma_g1": srs.gamma_g1,
+    }
+
+
+def _srs_from_obj(o):
+    from collaborative_zksnark_tpu.ops import curve as cv
+    from collaborative_zksnark_tpu.snark import kzg
+
+    gp = o["gamma_powers"]
+    return kzg.KzgSrs(
+        powers=cv.JacPoint(*o["powers"]),
+        max_degree=o["max_degree"],
+        g1=o["g1"], g2=o["g2"], beta_g2=o["beta_g2"],
+        gamma_powers=None if gp is None else cv.JacPoint(*gp),
+        gamma_g1=o["gamma_g1"],
+    )
+
+
+def _cmt_to_obj(cm):
+    return {"comm": cm.comm, "shifted": cm.shifted_comm, "db": cm.degree_bound}
+
+
+def _cmt_from_obj(o):
+    from collaborative_zksnark_tpu.snark import kzg
+
+    return kzg.Commitment(
+        comm=o["comm"], shifted_comm=o["shifted"], degree_bound=o["db"]
+    )
+
+
+def plonk_setup_cached(layout, logn, seed):
+    """(pk, vk) for the squaring Plonk circuit, from disk if present."""
+    from collaborative_zksnark_tpu.snark import keycache, plonk
+
+    path = os.path.join(keycache.DEFAULT_DIR, f"plonk_srs_v1_n{logn}_seed{seed}.npz")
+    got = _sc_load(path)
+    if got is not None:
+        srs = _srs_from_obj(got["srs"])
+        s_cmt, w_cmt = got["s_cmt"], got["w_cmt"]
+        log(f"plonk setup cache hit: {path}")
+        pk = plonk.ProverKey(layout=layout, srs=srs, s_cmt=s_cmt, w_cmt=w_cmt)
+        vk = plonk.VerifierKey(
+            srs=srs, s_cmt=s_cmt, w_cmt=w_cmt, n_gates=layout.n_gates,
+            wires_gen=layout.wires_domain.omega,
+            gates_gen=layout.gates_domain.omega,
+            public_indices=dict(layout.public_indices),
+        )
+        return pk, vk
+    srs = plonk.universal_setup(layout.n_gates, seed=seed)
+    pk, vk = plonk.circuit_setup(srs, layout)
+    try:
+        _sc_save(path, {"srs": _srs_to_obj(srs), "s_cmt": pk.s_cmt,
+                        "w_cmt": pk.w_cmt})
+        log(f"plonk setup cache written: {path}")
+    except Exception as e:
+        log(f"plonk setup cache write failed: {e}")
+    return pk, vk
+
+
+def marlin_setup_cached(cs, logn, seed):
+    """(pk, vk) for the squaring Marlin circuit, from disk if present."""
+    from collaborative_zksnark_tpu.snark import keycache, marlin
+
+    path = os.path.join(keycache.DEFAULT_DIR, f"marlin_idx_v1_n{logn}_seed{seed}.npz")
+    got = _sc_load(path)
+    if got is not None:
+        srs = _srs_from_obj(got["srs"])
+        comms = {k: _cmt_from_obj(v) for k, v in got["comms"].items()}
+        import json as _json
+
+        ix = got["index"]
+        rows = {m: [[(int(c), int(v)) for c, v in row] for row in rws]
+                for m, rws in _json.loads(ix["rows"]).items()}
+        mats = {m: marlin.MatrixArith(**ix["mats"][m]) for m in ix["mats"]}
+        idx = marlin.Index(
+            n=ix["n"], xsize=ix["xsize"], k_size=ix["k_size"],
+            b_size=ix["b_size"], num_instance=ix["num_instance"],
+            num_witness=ix["num_witness"], mats=mats, rows=rows,
+            packed=ix["packed"], t_tables=ix["t_tables"],
+            elems_dev=ix["elems_dev"],
+        )
+        log(f"marlin setup cache hit: {path}")
+        return (marlin.IndexProverKey(index=idx, srs=srs, comms=comms),
+                marlin.IndexVerifierKey(
+                    n=idx.n, xsize=idx.xsize, k_size=idx.k_size,
+                    num_instance=idx.num_instance, srs=srs, comms=comms))
+    srs = marlin.universal_setup(marlin.max_degree_for(cs), seed=seed)
+    pk, vk = marlin.index(cs, srs)
+    try:
+        import json as _json
+
+        idx = pk.index
+        rows_s = _json.dumps(
+            {m: [[(str(c), str(v)) for c, v in row] for row in idx.rows[m]]
+             for m in idx.rows})
+        _sc_save(path, {
+            "srs": _srs_to_obj(srs),
+            "comms": {k: _cmt_to_obj(v) for k, v in pk.comms.items()},
+            "index": {
+                "n": idx.n, "xsize": idx.xsize, "k_size": idx.k_size,
+                "b_size": idx.b_size, "num_instance": idx.num_instance,
+                "num_witness": idx.num_witness,
+                "mats": {m: dataclasses_asdict_arrays(idx.mats[m])
+                         for m in idx.mats},
+                "rows": rows_s, "packed": idx.packed,
+                "t_tables": idx.t_tables, "elems_dev": idx.elems_dev,
+            },
+        })
+        log(f"marlin setup cache written: {path}")
+    except Exception as e:
+        log(f"marlin setup cache write failed: {e}")
+    return pk, vk
+
+
+def dataclasses_asdict_arrays(ma):
+    """MatrixArith -> field dict WITHOUT copying arrays (dataclasses.asdict
+    deep-copies; we just need the field mapping)."""
+    import dataclasses as _dc
+
+    return {f.name: getattr(ma, f.name) for f in _dc.fields(ma)}
 
 
 def extras(rng):
@@ -346,8 +583,7 @@ def extras(rng):
         circ = PlonkCircuit.squaring(1 << logn, start=3)
         layout = CircuitLayout.from_circuit(circ)
         t0 = time.perf_counter()
-        srs = plonk.universal_setup(layout.n_gates, seed=5)
-        pk, vk = plonk.circuit_setup(srs, layout)
+        pk, vk = plonk_setup_cached(layout, logn, seed=5)
         log(f"plonk setup 2^{logn}: {time.perf_counter()-t0:.1f}s")
         out = next(circ.values[v] for v, nm in circ.pub_vars.items()
                    if nm == "out")
@@ -379,8 +615,7 @@ def extras(rng):
 
         cs, assign = r1cs.squaring_circuit(1 << logn)
         t0 = time.perf_counter()
-        srs = marlin.universal_setup(marlin.max_degree_for(cs), seed=5)
-        pk, vk = marlin.index(cs, srs)
+        pk, vk = marlin_setup_cached(cs, logn, seed=5)
         log(f"marlin setup 2^{logn}: {time.perf_counter()-t0:.1f}s")
         inst, wit = assign(3)
         wit_dev = F.FR.to_device(wit)
