@@ -193,6 +193,8 @@ def main():
 
     signal.signal(signal.SIGALRM, _budget_alarm)
     signal.alarm(max(1, int(remaining()) + 40))
+    log("full warm row set (all systems/sizes, this code, measured in-session):"
+        " analysis/data/tpu_bench_r5.txt")
 
     # ---- speed-of-light accounting (BASELINE north star) ----------------
     # Measure the chip's elementwise modmul peaks LIVE (Fr for NTT, Fq for
@@ -200,7 +202,8 @@ def main():
     # count.  A chained y = y*b loop forces sequential execution.
     try:
         def peak_muls(spec, tag):
-            m = 1 << 20
+            m = 1 << 19  # bandwidth-bound elementwise: rate is size-flat,
+            # and halving the operand transfer saves ~1 min of tunnel time
             a = F.rand(spec, rng, (m,))
             b = F.rand(spec, rng, (m,))
             f = jax.jit(lambda u, v: F.mul(spec, u, v))
@@ -530,7 +533,8 @@ def extras(rng):
             hp = groth16.reveal_proof(pf)
             assert groth16.verify(vk, hp, inst[1:])
 
-        return timed_pair(f"groth16 local prove 2^{logn}", once, ref_s)
+        return timed_pair(f"groth16 local prove 2^{logn}", once, ref_s,
+                          warm_est=60 if logn >= 20 else 20)
 
     def spdz_prove(cs, assign, pk, vk, logn, ref_s=None):
         """2-party SPDZ collaborative prove, stacked on the one chip: the
@@ -602,10 +606,11 @@ def extras(rng):
             ctx.assert_checks()
             assert plonk.verify(vk, pf, {"out": out})
 
-        timed_pair(f"plonk local prove 2^{logn}", once_local)
+        timed_pair(f"plonk local prove 2^{logn}", once_local,
+                   warm_est=40)
         if remaining() > 150:
             timed_pair(f"plonk SPDZ 2-party prove 2^{logn} (stacked)",
-                       once_spdz)
+                       once_spdz, warm_est=80)
 
     def block_marlin(logn):
         if remaining() < 180:
@@ -632,10 +637,11 @@ def extras(rng):
             ctx.assert_checks()
             assert marlin.verify(vk, inst[1:], pf)
 
-        timed_pair(f"marlin local prove 2^{logn}", once_local)
+        timed_pair(f"marlin local prove 2^{logn}", once_local,
+                   warm_est=30)
         if remaining() > 150:
             timed_pair(f"marlin SPDZ 2-party prove 2^{logn} (stacked)",
-                       once_spdz)
+                       once_spdz, warm_est=50)
 
     def block(logn, seed):
         if remaining() < 150:
